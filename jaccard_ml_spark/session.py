@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Arrow on (all Python work crosses the JVM boundary in Arrow batches —
+the ``input_hint`` mandate), AQE on (runtime skew-join splitting and
+partition coalescing are the built-in half of the reference's degree-aware
+work distribution, SURVEY §4 P1/P3/P6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "jaccard-ml-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the dedup pipeline.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the job is submitted via ``spark-submit --py-files`` and the
+    master comes from the submit environment (pass ``master=None`` there).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        n = int(cpus) if master.startswith("local") else 200
+        shuffle_partitions = max(n, 8)
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # transcripts at 10^12-turn scale arrive as many small-ish files;
+        # 128 MiB split targets keep scan tasks balanced.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        # deterministic timestamps in tests / oracle comparisons
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
