@@ -1,0 +1,112 @@
+"""MinHash signatures and SimHash fingerprints — vectorized Arrow UDFs.
+
+MinHash (Broder '97): signature[j] = min over set elements x of
+h_j(x), with h_j a seeded multiply-add universal hash mod 2^64
+(uint64 wraparound is the modulus — free and deterministic in numpy).
+128 permutations by default; the j-th row of two signatures collides
+with probability equal to the true Jaccard similarity.
+
+The computation crosses the JVM boundary once per Arrow batch (the
+``input_hint`` mandate: no per-row Python); inside the batch it is one
+flat numpy kernel over the concatenated element arrays using
+``np.minimum.reduceat`` — the moral equivalent of the reference's
+warp-level partial/final reduction (``/root/reference/src/gpu_utils.cu:59-65``),
+with Arrow batches standing in for warps.
+
+SimHash (Charikar '02): w-bit fingerprint; bit b = sign of the sum over
+elements of (+1 if bit b of h(x) else -1). Near-textual duplicates land
+within a small Hamming distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) multiply-add parameters; a forced odd."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_udf(num_perm: int, seed: int):
+    """pandas UDF: array<long> shingle hashes → array<long> signature.
+
+    Empty/null sets → null signature (the document simply never enters
+    any LSH bucket — matching the reference's dropped self-loop edges,
+    src/utils.cuh:170).
+    """
+    a, b = _perm_params(num_perm, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            # (n, num_perm) universal hashes, min over n → signature
+            hv = x[:, None] * a[None, :] + b[None, :]
+            out.append(hv.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    return _minhash
+
+
+def simhash_udf(bits: int = 64, seed: int = 42):
+    """pandas UDF: array<long> element hashes → long SimHash fingerprint.
+
+    Elements are remixed with a seeded multiplier so the fingerprint is
+    independent of the MinHash family. Unweighted (sets, not bags) —
+    matching the engine's set semantics (SURVEY §1.4.1).
+    """
+    if bits > 64:
+        raise ValueError("simhash supports up to 64 bits")
+    rng = np.random.default_rng(seed + 1)
+    mix = np.uint64(rng.integers(1, 2**63, dtype=np.uint64) * 2 + 1)
+    add = np.uint64(rng.integers(0, 2**63, dtype=np.uint64))
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf(T.LongType())
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64) * mix + add
+            bitmat = (x[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes = 2 * bitmat.astype(np.int64) - 1
+            fp = (votes.sum(axis=0) > 0).astype(np.uint64)
+            out[i] = (fp << bit_idx).sum().view(np.int64) if bits == 64 \
+                else int((fp << bit_idx).sum())
+        return pd.Series(out)
+
+    return _simhash
+
+
+def band_hash_cols(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array of per-band 64-bit hashes — pure JVM expressions.
+
+    Band j hashes signature rows [j*r, (j+1)*r) together with the band
+    index, so identical row values in different bands never collide.
+    """
+    return F.array(*[
+        F.xxhash64(F.slice(sig, j * rows_per_band + 1, rows_per_band),
+                   F.lit(j))
+        for j in range(bands)
+    ])
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (JVM bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

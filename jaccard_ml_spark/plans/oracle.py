@@ -1,0 +1,56 @@
+"""Brute-force oracle: the `.corr.bin` analog (SURVEY §5).
+
+Exact all-pairs Jaccard at the same shingle config + plain-Python
+union-find → golden (pairs, clusters). O(n²)-ish via the posting join —
+run only at test scale (n ≤ a few thousand conversations), exactly like
+the reference caches a golden metric vector per graph
+(``/root/reference/src/main.cu:87-98``) and diffs every kernel against
+it (``src/utils.cuh:689-698``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from jaccard_ml_spark.config import DedupConfig
+from jaccard_ml_spark.operators.setsim import exact_jaccard_pairs
+
+
+def oracle_pairs(sets_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Golden (id_a, id_b, jaccard) — every pair at J ≥ threshold."""
+    return exact_jaccard_pairs(sets_df, cfg.jaccard_threshold)
+
+
+def union_find_clusters(pairs: list[tuple], all_ids: list) -> dict:
+    """Driver-side union-find → {id: cluster_id=min member}. Test-scale."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {i: find(i) for i in all_ids}
+
+
+def recall_against_oracle(found_pairs: DataFrame,
+                          golden_pairs: DataFrame) -> dict:
+    """Dup-pair recall/precision — the BASELINE.json ≥0.99 gate."""
+    f = {(r.id_a, r.id_b) for r in found_pairs.select("id_a", "id_b").collect()}
+    g = {(r.id_a, r.id_b) for r in golden_pairs.select("id_a", "id_b").collect()}
+    tp = len(f & g)
+    return {
+        "found": len(f),
+        "golden": len(g),
+        "true_positives": tp,
+        "recall": tp / len(g) if g else 1.0,
+        "precision": tp / len(f) if f else 1.0,
+    }

@@ -1,0 +1,195 @@
+"""Deterministic synthetic transcripts generator (FIXTURES.md §1).
+
+The analog of the reference's edge-list fixtures: a seeded generator that
+plants a known duplicate structure so recall can be measured against a
+ground-truth sidecar, the way the reference validates kernels against its
+cached golden values (``/root/reference/src/main.cu:87-98``).
+
+Plants (proportions configurable):
+  - unique conversations (background noise)
+  - exact duplicates  (same turns, new conv_id → J = 1.0)
+  - near duplicates   (few token edits in 1-3 turns → J straddles the
+    threshold, the 0.001-comparison-boundary analog of
+    /root/reference/src/utils.cuh:655)
+  - containment duplicates (turn-prefix of a longer conversation —
+    low plain Jaccard, exercises the suffix/containment path)
+  - hot-bucket skew plant (one boilerplate system turn shared verbatim
+    by many unrelated conversations — the deg≥1024 degree-tail analog
+    of /root/reference/src/utils.cuh:340-346)
+
+Rows are written SHUFFLED so the stable-turn-ordering invariant is
+actually exercised. Everything is numpy-seeded; no wall clock, no
+external data.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+import numpy as np
+import pandas as pd
+
+ROLES = ("user", "assistant", "system", "tool")
+TOOLS = ("search", "python", "browser", "calculator")
+
+_EPOCH = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _vocab(rng: np.random.Generator, size: int = 600) -> np.ndarray:
+    consonants = list("bcdfghjklmnpqrstvwz")
+    vowels = list("aeiou")
+    words = set()
+    while len(words) < size:
+        n_syll = rng.integers(1, 4)
+        w = "".join(
+            consonants[rng.integers(len(consonants))]
+            + vowels[rng.integers(len(vowels))]
+            for _ in range(n_syll)
+        )
+        words.add(w)
+    return np.array(sorted(words))
+
+
+def _make_turns(rng, vocab, n_turns):
+    """One conversation: list of (role, text, tool)."""
+    turns = []
+    for t in range(n_turns):
+        role = ROLES[int(rng.integers(0, len(ROLES)))] if t else "user"
+        n_tok = int(rng.integers(10, 80))
+        toks = vocab[rng.integers(0, len(vocab), n_tok)]
+        tool = TOOLS[int(rng.integers(0, len(TOOLS)))] if role == "tool" else None
+        turns.append((role, " ".join(toks.tolist()), tool))
+    return turns
+
+
+def _perturb(rng, vocab, turns, n_edit_turns, edits_per_turn):
+    """Near-duplicate clone: token swaps/drops/inserts in a few turns."""
+    out = [list(t) for t in turns]
+    idxs = rng.choice(len(out), size=min(n_edit_turns, len(out)), replace=False)
+    for i in idxs:
+        toks = out[i][1].split(" ")
+        for _ in range(edits_per_turn):
+            op = int(rng.integers(0, 3))
+            pos = int(rng.integers(0, len(toks)))
+            word = str(vocab[int(rng.integers(0, len(vocab)))])
+            if op == 0:
+                toks[pos] = word            # swap
+            elif op == 1 and len(toks) > 5:
+                toks.pop(pos)               # drop
+            else:
+                toks.insert(pos, word)      # insert
+        out[i][1] = " ".join(toks)
+    return [tuple(t) for t in out]
+
+
+def generate_transcripts(
+    out_dir: str,
+    n_convs: int = 2000,
+    seed: int = 42,
+    frac_exact: float = 0.15,
+    frac_near: float = 0.15,
+    frac_contain: float = 0.05,
+    frac_hot: float = 0.05,
+    min_turns: int = 2,
+    max_turns: int = 14,
+) -> dict:
+    """Write transcripts.parquet + truth_groups.parquet under ``out_dir``.
+
+    Returns {"transcripts": path, "truth_groups": path, "n_convs": int,
+    "n_turns": int}. Deterministic for a given (seed, n_convs, fracs).
+    """
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(rng)
+
+    n_exact = int(n_convs * frac_exact)
+    n_near = int(n_convs * frac_near)
+    n_contain = int(n_convs * frac_contain)
+    n_hot = int(n_convs * frac_hot)
+    n_unique = n_convs - n_exact - n_near - n_contain - n_hot
+
+    convs: list[tuple[str, list, str, str]] = []  # (conv_id, turns, group, kind)
+    next_id = 0
+
+    def cid():
+        nonlocal next_id
+        c = f"conv-{next_id:08d}"
+        next_id += 1
+        return c
+
+    # base/unique conversations
+    bases = []
+    for _ in range(n_unique):
+        c = cid()
+        turns = _make_turns(rng, vocab, int(rng.integers(min_turns, max_turns + 1)))
+        bases.append((c, turns))
+        convs.append((c, turns, c, "unique"))
+
+    # exact duplicates of random bases
+    for _ in range(n_exact):
+        src_id, src_turns = bases[int(rng.integers(0, len(bases)))]
+        convs.append((cid(), [tuple(t) for t in src_turns], src_id, "exact"))
+
+    # near duplicates: half light edits (stay above J=0.8), half heavy
+    # (fall below) so the threshold boundary is tested from both sides
+    for i in range(n_near):
+        src_id, src_turns = bases[int(rng.integers(0, len(bases)))]
+        if i % 2 == 0:
+            turns = _perturb(rng, vocab, src_turns, n_edit_turns=1,
+                             edits_per_turn=1)
+            kind = "near_above"
+        else:
+            turns = _perturb(rng, vocab, src_turns, n_edit_turns=3,
+                             edits_per_turn=12)
+            kind = "near_below"
+        convs.append((cid(), turns, src_id, kind))
+
+    # containment: a turn-prefix of a long base conversation
+    long_bases = [b for b in bases if len(b[1]) >= 6] or bases
+    for _ in range(n_contain):
+        src_id, src_turns = long_bases[int(rng.integers(0, len(long_bases)))]
+        k = max(2, len(src_turns) // 3)
+        convs.append((cid(), [tuple(t) for t in src_turns[:k]], src_id,
+                      "containment"))
+
+    # hot-bucket plant: unique conversations sharing one verbatim
+    # boilerplate system prompt (must NOT cluster together)
+    boiler_toks = vocab[rng.integers(0, len(vocab), 120)]
+    boiler = "you are a helpful agent " + " ".join(boiler_toks.tolist())
+    for _ in range(n_hot):
+        c = cid()
+        turns = _make_turns(rng, vocab, int(rng.integers(min_turns, max_turns + 1)))
+        turns = [("system", boiler, None)] + turns
+        convs.append((c, turns, c, "hot_boiler"))
+
+    # flatten to rows
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+            "tool": [], "ts": []}
+    for conv_id, turns, _, _ in convs:
+        t0 = _EPOCH + _dt.timedelta(
+            seconds=int(rng.integers(0, 365 * 24 * 3600)))
+        for i, (role, text, tool) in enumerate(turns):
+            rows["conv_id"].append(conv_id)
+            rows["turn_idx"].append(i)
+            rows["role"].append(role)
+            rows["text"].append(text)
+            rows["tool"].append(tool)
+            rows["ts"].append(t0 + _dt.timedelta(seconds=30 * i))
+
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    # shuffle rows so nothing downstream can rely on input order
+    df = df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+    truth = pd.DataFrame(
+        [(c, g, k) for c, _, g, k in convs],
+        columns=["conv_id", "group_id", "kind"],
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    t_path = os.path.join(out_dir, "transcripts.parquet")
+    g_path = os.path.join(out_dir, "truth_groups.parquet")
+    df.to_parquet(t_path, index=False)
+    truth.to_parquet(g_path, index=False)
+    return {"transcripts": t_path, "truth_groups": g_path,
+            "n_convs": len(convs), "n_turns": len(df)}

@@ -1,0 +1,122 @@
+"""End-to-end pipeline vs the brute-force oracle (the recall ≥ 0.99 gate).
+
+Mirrors the reference's differential scheme: every kernel (here: the
+LSH path) is compared against the golden exact computation
+(``/root/reference/src/utils.cuh:689-698``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jaccard_ml_spark.config import DedupConfig
+from jaccard_ml_spark.plans.oracle import (
+    oracle_pairs,
+    recall_against_oracle,
+    union_find_clusters,
+)
+from jaccard_ml_spark.plans.pipeline import dedup_pipeline
+from jaccard_ml_spark.sources.generator import generate_transcripts
+from jaccard_ml_spark.sources.tables import read_transcripts
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def data(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("transcripts")
+    meta = generate_transcripts(str(out), n_convs=400, seed=42)
+    transcripts = read_transcripts(spark, meta["transcripts"])
+    return meta, transcripts
+
+
+@pytest.fixture(scope="module")
+def result(data):
+    _, transcripts = data
+    return dedup_pipeline(transcripts, CFG)
+
+
+@pytest.fixture(scope="module")
+def golden(result):
+    return oracle_pairs(result.shingle_sets, CFG).persist()
+
+
+def test_assembly_per_turn_equality(spark, data):
+    """input_hint invariant: per-turn text equality under stable ordering,
+    even though rows are shuffled on disk."""
+    meta, transcripts = data
+    from jaccard_ml_spark.operators.assemble import assemble_conversations
+
+    conv = assemble_conversations(transcripts).select("conv_id", "turns")
+    exploded = conv.select(
+        "conv_id", F.posexplode("turns").alias("turn_idx", "turn_text"))
+    back = exploded.alias("a").join(
+        transcripts.alias("t"),
+        (F.col("a.conv_id") == F.col("t.conv_id"))
+        & (F.col("a.turn_idx") == F.col("t.turn_idx")),
+    )
+    mism = back.where(F.col("a.turn_text") != F.col("t.text")).count()
+    assert mism == 0
+    assert back.count() == transcripts.count()
+
+
+def test_recall_and_precision(result, golden):
+    stats = recall_against_oracle(result.pairs, golden)
+    assert stats["golden"] > 20, "fixture must plant enough true pairs"
+    assert stats["recall"] >= 0.99, stats
+    # verified pairs use the same exact Jaccard → no false positives
+    assert stats["precision"] == 1.0, stats
+
+
+def test_exact_dups_found(result, data):
+    meta, _ = data
+    import pandas as pd
+    truth = pd.read_parquet(meta["truth_groups"])
+    exact = truth[truth.kind == "exact"]
+    found = {(r.id_a, r.id_b)
+             for r in result.pairs.select("id_a", "id_b").collect()}
+    cluster_map = {r.id: r.cluster_id for r in result.clusters.collect()}
+    missing = []
+    for _, row in exact.iterrows():
+        a, b = sorted([row.conv_id, row.group_id])
+        if cluster_map.get(a) != cluster_map.get(b):
+            missing.append((a, b))
+    assert not missing, f"exact duplicates not clustered: {missing[:5]}"
+
+
+def test_hot_boilerplate_not_clustered(result, data):
+    """The planted shared system prompt must not create false clusters."""
+    meta, _ = data
+    import pandas as pd
+    truth = pd.read_parquet(meta["truth_groups"])
+    hot = list(truth[truth.kind == "hot_boiler"].conv_id)
+    assert len(hot) >= 10
+    cl = {r.id: r.cluster_id for r in result.clusters.collect()}
+    hot_clusters = [cl[h] for h in hot if h in cl]
+    # every hot conv is its own singleton cluster
+    assert len(set(hot_clusters)) == len(hot_clusters)
+
+
+def test_clusters_match_union_find(result, golden):
+    """CC (small-star/large-star) fixpoint equals driver union-find."""
+    pairs = [(r.id_a, r.id_b) for r in golden.select("id_a", "id_b").collect()]
+    all_ids = [r.id for r in result.shingle_sets.select("id").collect()]
+    expected = union_find_clusters(pairs, all_ids)
+    got = {r.id: r.cluster_id for r in result.clusters.collect()}
+    # LSH recall may drop sub-threshold pairs the oracle also drops;
+    # compare on the pairs both agree on: require exact equality since
+    # recall==1 in this fixture config
+    assert got == expected
+
+
+def test_candidates_deterministic_across_partitioning(spark, result):
+    """Same candidate set at different parallelism (SURVEY §7.4.3)."""
+    from jaccard_ml_spark.operators.candidates import candidate_pairs
+
+    sigs = result.signatures
+    c1 = {(r.id_a, r.id_b)
+          for r in candidate_pairs(sigs.repartition(2), CFG).collect()}
+    c2 = {(r.id_a, r.id_b)
+          for r in candidate_pairs(sigs.repartition(17), CFG).collect()}
+    assert c1 == c2
