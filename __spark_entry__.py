@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship near-dup clustering on sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Queries whose
+semantics are not SQL-expressible (MinHash internals) are rows-only.
+
+Column-name and value parity rules used throughout:
+- every computed column is aliased identically on both sides
+- doubles rounded to 6 dp on both sides
+- integer outputs cast to BIGINT on both sides
 """
 
 from __future__ import annotations
@@ -12,27 +17,496 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jaccard_ml_spark.config import DedupConfig
+from jaccard_ml_spark.functions import stable_round6 as _r6
+from jaccard_ml_spark.functions.text import shingle_hashes
+from jaccard_ml_spark.operators import dedup as D
+from jaccard_ml_spark.operators import quality as Q
+from jaccard_ml_spark.operators import similarity as S
+from jaccard_ml_spark.operators.candidates import (
+    bucket_stats,
+    lsh_buckets,
+    minhash_signatures,
+)
+from jaccard_ml_spark.operators.setsim import (
+    exact_jaccard_pairs,
+    pairwise_metrics,
+    posting_lists,
+)
+from jaccard_ml_spark.plans.pipeline import dedup_documents
+
+CFG = DedupConfig()
+K = CFG.k_shingle  # 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        shingle_hashes(F.col("text"), K).alias("items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (tokenize → shingle → distinct postings),
+# mirroring jaccard_ml_spark.functions.text exactly
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = """
+toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           t -> t <> '') AS toks
+  FROM documents
+)
+"""
+
+_SQL_SHINGLES = _SQL_TOKS + f""",
+sh AS (
+  SELECT doc_id,
+         array_to_string(toks[i : i + {K - 1}], ' ') AS shingle
+  FROM toks,
+       UNNEST(range(1, greatest(len(toks) - {K - 1}, 1) + 1)) AS u(i)
+),
+s AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle <> '')
+"""
+
+_SQL_PAIRS = _SQL_SHINGLES + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT ia, ib, i, sa.sz AS sza, sb.sz AS szb,
+         i * 1.0 / (sa.sz + sb.sz - i) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup groups via md5 digest (SURVEY dedup op #1)."""
+    return D.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    return Q.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return Q.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return Q.language_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return Q.fingerprint(_docs(spark, sf_dir), k_shingle=K)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard ≥ 0.5 (the oracle-path operator)."""
+    out = exact_jaccard_pairs(_doc_sets(spark, sf_dir), threshold=0.5)
+    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_pair_metrics(spark, sf_dir):
+    """All 7 reference metrics on pairs sharing ≥ 25% shingles."""
+    m = pairwise_metrics(_doc_sets(spark, sf_dir))
+    return m.where(F.col("jaccard") >= 0.25).select(
+        "id_a", "id_b",
+        F.col("intersection").cast("long").alias("intersection"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        _r6(F.col("jaccard")).alias("jaccard"),
+        _r6(F.col("adamic_adar")).alias("adamic_adar"),
+        _r6(F.col("resource_alloc")).alias("resource_alloc"),
+        _r6(F.col("sorensen")).alias("sorensen"),
+        _r6(F.col("common_neighbors")).alias("common_neighbors"),
+        _r6(F.col("salton")).alias("salton"),
+        _r6(F.col("pref_attachment")).alias("pref_attachment"),
+    )
+
+
+def q_lsh_near_dup_pairs(spark, sf_dir):
+    """MinHash→LSH→verify at J ≥ 0.8; oracle is the exact computation
+    (recall is 1−(1−t^r)^b ≈ 1−5e-8 at the threshold — differential
+    testing in the reference's golden-file style)."""
+    sets_df = _doc_sets(spark, sf_dir)
+    sigs = minhash_signatures(sets_df, CFG)
+    from jaccard_ml_spark.operators.candidates import candidate_pairs
+    from jaccard_ml_spark.operators.verify import verify_pairs
+    pairs = verify_pairs(candidate_pairs(sigs, CFG), sets_df,
+                         CFG.jaccard_threshold)
+    return pairs.select("id_a", "id_b",
+                        _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Full pipeline cluster assignments (cluster_id = min member id)."""
+    res = dedup_documents(_docs(spark, sf_dir), CFG)
+    return res.clusters.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Shingle-containment ≥ 0.9 (turn-prefix / substring dup analog)."""
+    out = D.containment_pairs(_doc_sets(spark, sf_dir), threshold=0.9)
+    return out.select(
+        "id_small", "id_big",
+        F.col("intersection").cast("long").alias("intersection"),
+        F.col("size_small").cast("long").alias("size_small"),
+        F.col("size_big").cast("long").alias("size_big"),
+        _r6(F.col("containment")).alias("containment"),
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+
+
+def q_assemble_convs(spark, sf_dir):
+    """Conversation assembly under stable turn ordering, applied to the
+    events table (user_id ≙ conv_id, ts/event_id ≙ turn order)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("_s"))
+        .select(
+            F.col("user_id").cast("long").alias("conv_id"),
+            F.size("_s").cast("long").alias("n_turns"),
+            F.array_join(F.col("_s.event_type"), "\n").alias("text"),
+        )
+    )
+
+
+def q_window_argmin(spark, sf_dir):
+    """Per-key argmin via window (the reference ML loop's groupby.idxmin,
+    ml_model.py:62-64, as a Spark window)."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("value"),
+                                              F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                F.col("event_id").cast("long").alias("event_id"),
+                "event_type", "value")
+    )
+
+
+def q_shingle_df_histogram(spark, sf_dir):
+    """Document-frequency histogram in power-of-two classes — the degree
+    histogram of /root/reference/src/utils.cuh:326-367, reborn as the
+    bucket-cardinality stats that drive skew handling."""
+    post = posting_lists(_doc_sets(spark, sf_dir))
+    freq = post.groupBy("item").agg(F.count("*").alias("df"))
+    bucket = F.when(F.col("df") <= 1, 1)
+    for b in [2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]:
+        bucket = bucket.when(F.col("df") <= b, b)
+    bucket = bucket.otherwise(2048)
+    return (
+        freq.select(bucket.cast("long").alias("df_bucket"))
+        .groupBy("df_bucket")
+        .agg(F.count("*").cast("long").alias("n_shingles"))
+    )
+
+
+def q_minhash_band_stats(spark, sf_dir):
+    """LSH bucket-cardinality stats per band (rows-only check: MinHash
+    is not SQL-expressible). The strategy-selection input of SURVEY §4.4."""
+    sigs = minhash_signatures(_doc_sets(spark, sf_dir), CFG)
+    stats = bucket_stats(lsh_buckets(sigs, CFG))
+    return (
+        stats.groupBy("band_id")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("bucket_size").cast("long").alias("max_bucket"),
+            _r6(F.avg("bucket_size")).alias("avg_bucket"),
+        )
+        .orderBy("band_id")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Sign-LSH approximate top-k neighbors (rows-only: hyperplane LSH
+    uses seeded normals, not SQL-expressible)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ann_topk(emb, dim=64, k=5)
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload + typed metadata
+    (documents text re-encoded as the stand-in payload; real decode is
+    stubbed — operators/multimodal.py)."""
+    docs = _docs(spark, sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("byte_len"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("content_key"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-duplicate clusters of sf0.001 documents."""
+    return q_dedup_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "pair_metrics": q_pair_metrics,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "containment_pairs": q_containment_pairs,
+        "cosine_topk": q_cosine_topk,
+        "assemble_convs": q_assemble_convs,
+        "window_argmin": q_window_argmin,
+        "shingle_df_histogram": q_shingle_df_histogram,
+        "minhash_band_stats": q_minhash_band_stats,
+        "ann_topk": q_ann_topk,
+        "binary_meta": q_binary_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["exact_dedup"] = """
+SELECT doc_id,
+       md5(text) AS text_md5,
+       (count(*) OVER w)::BIGINT AS group_size,
+       min(doc_id) OVER w AS canonical_id,
+       (doc_id <> min(doc_id) OVER w)::BIGINT AS is_duplicate
+FROM documents
+WINDOW w AS (PARTITION BY md5(text))
+"""
+
+    sql["token_stats"] = f"""
+WITH {_SQL_TOKS}
+SELECT d.doc_id,
+       length(d.text)::BIGINT AS n_chars,
+       len(t.toks)::BIGINT AS n_tokens,
+       len(list_distinct(t.toks))::BIGINT AS n_distinct_tokens,
+       floor((CASE WHEN len(t.toks) > 0
+             THEN list_sum(list_transform(t.toks, x -> length(x))) * 1.0
+                  / len(t.toks)
+             ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len
+FROM documents d JOIN toks t USING (doc_id)
+"""
+
+    sql["quality_score"] = f"""
+WITH {_SQL_TOKS}
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       floor((
+         0.3 * least(len(toks) / 100.0, 1.0)
+         + 0.3 * (CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) * 1.0 / len(toks)
+                  ELSE 0.0 END)
+         + 0.4 * least((CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+                       / len(toks) ELSE 0.0 END) / 8.0, 1.0)
+       ) * 1000000.0 + 0.5) / 1000000.0 AS quality
+FROM toks
+"""
+
+    stop_lists = {lang: ", ".join(f"'{w}'" for w in ws)
+                  for lang, ws in Q.STOPWORDS.items()}
+    hit_exprs = ",\n       ".join(
+        f"len(list_intersect(list_distinct(toks), [{stop_lists[lang]}]))::BIGINT"
+        f" AS hits_{lang}"
+        for lang in sorted(Q.STOPWORDS)
+    )
+    guess_expr = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = best THEN '{lang}'"
+        for lang in sorted(Q.STOPWORDS)
+    ) + " END"
+    sql["lang_id"] = f"""
+WITH {_SQL_TOKS},
+hits AS (
+  SELECT doc_id,
+       {hit_exprs}
+  FROM toks
+),
+best AS (
+  SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS best FROM hits
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+       {guess_expr} AS lang_guess
+FROM best
+"""
+
+    sql["fingerprint"] = f"""
+WITH {_SQL_SHINGLES}
+SELECT doc_id,
+       count(*)::BIGINT AS n_shingles,
+       array_to_string(list_sort(list(md5(shingle)))[1:4], '|')
+         AS fingerprint
+FROM s GROUP BY doc_id
+"""
+
+    sql["ngram_jaccard_pairs"] = f"""
+WITH {_SQL_PAIRS}
+SELECT ia AS id_a, ib AS id_b, floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM jac WHERE j >= 0.5
+"""
+
+    sql["pair_metrics"] = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+freq AS (SELECT shingle, count(*) AS df FROM s GROUP BY shingle),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         count(*) AS i,
+         sum(1.0 / ln(f.df)) AS aa,
+         sum(1.0 / f.df) AS ra
+  FROM s a
+  JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN freq f ON f.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       i::BIGINT AS intersection,
+       sa.sz::BIGINT AS size_a,
+       sb.sz::BIGINT AS size_b,
+       floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+       floor((aa) * 1000000.0 + 0.5) / 1000000.0 AS adamic_adar,
+       floor((ra) * 1000000.0 + 0.5) / 1000000.0 AS resource_alloc,
+       floor((i * 1.0 / (sa.sz + sb.sz)) * 1000000.0 + 0.5) / 1000000.0 AS sorensen,
+       floor((i * 1.0) * 1000000.0 + 0.5) / 1000000.0 AS common_neighbors,
+       floor((i / sqrt(sa.sz * 1.0 * sb.sz)) * 1000000.0 + 0.5) / 1000000.0 AS salton,
+       floor((sa.sz * 1.0 * sb.sz) * 1000000.0 + 0.5) / 1000000.0 AS pref_attachment
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.25
+"""
+
+    sql["lsh_near_dup_pairs"] = f"""
+WITH {_SQL_PAIRS}
+SELECT ia AS id_a, ib AS id_b, floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM jac WHERE j >= 0.8
+"""
+
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {_SQL_PAIRS},
+p AS (SELECT ia, ib FROM jac WHERE j >= 0.8),
+edges AS (SELECT ia AS s, ib AS d FROM p
+          UNION SELECT ib, ia FROM p),
+reach AS (
+  SELECT doc_id AS id, doc_id AS peer FROM documents
+  UNION
+  SELECT r.id, e.d FROM reach r JOIN edges e ON r.peer = e.s
+)
+SELECT id AS doc_id, min(peer)::BIGINT AS cluster_id
+FROM reach GROUP BY id
+"""
+
+    sql["containment_pairs"] = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sided AS (
+  SELECT CASE WHEN sa.sz <= sb.sz THEN ia ELSE ib END AS id_small,
+         CASE WHEN sa.sz <= sb.sz THEN ib ELSE ia END AS id_big,
+         i, least(sa.sz, sb.sz) AS s_small, greatest(sa.sz, sb.sz) AS s_big
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+)
+SELECT id_small, id_big,
+       i::BIGINT AS intersection,
+       s_small::BIGINT AS size_small,
+       s_big::BIGINT AS size_big,
+       floor((i * 1.0 / s_small) * 1000000.0 + 0.5) / 1000000.0 AS containment
+FROM sided WHERE i * 1.0 / s_small >= 0.9
+"""
+
+    sql["cosine_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+sc AS (
+  SELECT qid, nid,
+         floor((list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv)))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM q, c WHERE qid <> nid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, nid) AS rn
+      FROM sc)
+SELECT qid AS query_id, nid AS neighbor_id, cosine, rn::BIGINT AS rank
+FROM r WHERE rn <= 5
+"""
+
+    sql["assemble_convs"] = """
+SELECT user_id::BIGINT AS conv_id,
+       count(*)::BIGINT AS n_turns,
+       string_agg(event_type, chr(10) ORDER BY ts, event_id) AS text
+FROM events GROUP BY user_id
+"""
+
+    sql["window_argmin"] = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS rn
+  FROM events
+)
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+       event_type, value
+FROM r WHERE rn = 1
+"""
+
+    buckets_case = "CASE WHEN df <= 1 THEN 1 " + " ".join(
+        f"WHEN df <= {b} THEN {b}"
+        for b in [2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
+    ) + " ELSE 2048 END"
+    sql["shingle_df_histogram"] = f"""
+WITH {_SQL_SHINGLES},
+freq AS (SELECT shingle, count(*) AS df FROM s GROUP BY shingle)
+SELECT ({buckets_case})::BIGINT AS df_bucket,
+       count(*)::BIGINT AS n_shingles
+FROM freq GROUP BY 1
+"""
+
+    sql["binary_meta"] = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       substr(md5(text), 1, 8) AS content_key
+FROM documents
+"""
+    return sql

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exactness baseline; random-hyperplane
+(sign-LSH) bucketing as the scale path — the same candidates-then-verify
+architecture as the MinHash text path. Hyperplanes are generated from a
+seeded RNG on the driver and broadcast as literal arrays (64 dims ×
+n_planes doubles — trivially broadcastable at any scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jaccard_ml_spark.functions import stable_round6
+from jaccard_ml_spark.functions.embeddings import cosine, dot
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    (query_id, neighbor_id, cosine, rank). Self-matches excluded.
+    Cosine rounded to 6 dp *before* ranking so ranks are reproducible
+    bit-for-bit across engines; ties broken by neighbor id.
+
+    Scale: broadcast the (small) query set against the corpus —
+    a broadcast-nested-loop the optimizer handles; for large query sets
+    use ann_buckets + verify instead.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            stable_round6(cosine(F.col("_qv"), F.col("_cv"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def ann_buckets(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket per vector: bit p = [v·h_p > 0] packed to a long.
+
+    Vectors in the same bucket are cosine-similar candidates; pair
+    within buckets (reusing candidates.py's skew machinery) and verify
+    with exact cosine.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane])) > 0,
+               F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        * F.lit(2 ** p).cast("long")
+        for p, plane in enumerate(planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        bucket.alias("bucket"),
+    )
+
+
+def ann_topk(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k: union of per-table sign-LSH buckets
+    → within-bucket pairing → exact cosine → per-id top-k.
+
+    Multiple hash tables recover recall the way extra LSH bands do for
+    MinHash (same 1-(1-p^r)^b trade).
+    """
+    tables = []
+    for t in range(n_tables):
+        b = ann_buckets(vectors, dim, n_planes, seed + 97 * t,
+                        id_col, vec_col).withColumn("table", F.lit(t))
+        tables.append(b.select("table", "bucket", "id"))
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+
+    left = buckets.select("table", "bucket", F.col("id").alias("id_a"))
+    right = buckets.select("table", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    vecs = vectors.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).alias("_v"))
+    scored = (
+        cand
+        .join(vecs.withColumnsRenamed({"_id": "id_a", "_v": "_va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"_id": "id_b", "_v": "_vb"}), "id_b")
+        .select("id_a", "id_b",
+                stable_round6(cosine(F.col("_va"), F.col("_vb")))
+                .alias("cosine"))
+    )
+    sym = scored.unionByName(scored.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine"))
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id_a").alias("query_id"),
+                F.col("id_b").alias("neighbor_id"), "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )

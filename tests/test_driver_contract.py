@@ -1,0 +1,39 @@
+"""Driver-contract conformance: every queries() entry matches its DuckDB
+oracle (the same comparison the driver runs at sf0.01), and entry() is a
+stable smoke query."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() >= 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "cluster_id"]
+
+
+def test_queries_have_oracles_or_are_flagged(spark):
+    import __spark_entry__ as E
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_) <= set(qs)
+    # only the genuinely non-SQL-expressible ops may omit an oracle
+    assert set(qs) - set(os_) == {"minhash_band_stats", "ann_topk"}
+
+
+@pytest.mark.slow
+def test_all_queries_match_oracles(spark):
+    from tests.oracle_harness import run_all
+
+    results = run_all(spark, SF_DIR)
+    bad = {k: v for k, v in results.items() if not v["ok"]}
+    assert not bad, bad
