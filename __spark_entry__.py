@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from jaccard_ml_spark.config import DedupConfig
 from jaccard_ml_spark.functions import stable_round6 as _r6
-from jaccard_ml_spark.functions.text import shingle_hashes
+from jaccard_ml_spark.functions.text import add_shingle_hash_sets
 from jaccard_ml_spark.operators import dedup as D
 from jaccard_ml_spark.operators import quality as Q
 from jaccard_ml_spark.operators import similarity as S
@@ -46,10 +46,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("id"),
-        shingle_hashes(F.col("text"), K).alias("items"),
-    )
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+    return add_shingle_hash_sets(base, "text", K).select("id", "items")
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +267,51 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
+def q_simhash32(spark, sf_dir):
+    """SQL-replicable 32-bit SimHash (md5 token hashes) — the oracle-
+    checkable twin of the engine's 64-bit xxhash SimHash
+    (functions/hashing.simhash_udf)."""
+    from jaccard_ml_spark.functions.text import tokens
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    toks = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(32)
+    ]
+    g = toks.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return g.select("doc_id", fp.alias("simhash32"))
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """64-bit SimHash Hamming-ball pairs (rows-only: engine hash family).
+    Exact within radius via pigeonhole block join."""
+    from jaccard_ml_spark.operators.simhash_path import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+    fps = simhash_fingerprints(_doc_sets(spark, sf_dir), CFG)
+    return simhash_near_pairs(fps, CFG)
+
+
+def q_substring_pairs(spark, sf_dir):
+    """Anchor-sampled substring containment, exact instr verification."""
+    from jaccard_ml_spark.operators.suffix import substring_pairs
+    out = substring_pairs(_docs(spark, sf_dir))
+    return out.select("id_small", "id_big",
+                      _r6(F.col("containment")).alias("containment"),
+                      "is_substring")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: near-duplicate clusters of sf0.001 documents."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -293,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_stats": q_minhash_band_stats,
         "ann_topk": q_ann_topk,
         "binary_meta": q_binary_meta,
+        "simhash32": q_simhash32,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "substring_pairs": q_substring_pairs,
     }
 
 
@@ -508,5 +554,20 @@ SELECT doc_id,
        octet_length(encode(text))::BIGINT AS byte_len,
        substr(md5(text), 1, 8) AS content_key
 FROM documents
+"""
+    sql["simhash32"] = f"""
+WITH {_SQL_TOKS},
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, UNNEST(range(0, 32)) AS u(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+         AS simhash32
+FROM bits GROUP BY doc_id
 """
     return sql

@@ -49,15 +49,31 @@ def minhash_udf(num_perm: int, seed: int):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _minhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append(None)
-                continue
-            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            # (n, num_perm) universal hashes, min over n → signature
-            hv = x[:, None] * a[None, :] + b[None, :]
-            out.append(hv.min(axis=0).view(np.int64))
+        n_rows = len(hashes)
+        out: list = [None] * n_rows
+        # flatten the batch: one big (N_values, num_perm) kernel +
+        # minimum.reduceat at row offsets — the whole Arrow batch is one
+        # numpy computation, no per-row Python in the inner loop
+        arrays, idx = [], []
+        for i in range(n_rows):
+            arr = hashes.iloc[i]
+            if arr is not None and len(arr) > 0:
+                arrays.append(np.asarray(arr, dtype=np.int64))
+                idx.append(i)
+        if not arrays:
+            return pd.Series(out)
+        # row-chunk to bound the (values × num_perm) temporary
+        chunk = max(1, 8_000_000 // (max(len(x) for x in arrays)
+                                     * num_perm) or 1)
+        for c0 in range(0, len(arrays), chunk):
+            sub = arrays[c0:c0 + chunk]
+            values = np.concatenate(sub).view(np.uint64)
+            offsets = np.zeros(len(sub), dtype=np.intp)
+            np.cumsum([len(x) for x in sub[:-1]], out=offsets[1:])
+            hv = values[:, None] * a[None, :] + b[None, :]
+            mins = np.minimum.reduceat(hv, offsets, axis=0).view(np.int64)
+            for j, i in enumerate(idx[c0:c0 + chunk]):
+                out[i] = mins[j]
         return pd.Series(out)
 
     return _minhash

@@ -31,15 +31,18 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(norm, " "), lambda t: t != F.lit(""))
 
 
-def shingles(col: Column, k: int) -> Column:
-    """Distinct k-token shingles (space-joined strings).
+def shingles_from_tokens(toks: Column, k: int) -> Column:
+    """Distinct k-token shingles from an ALREADY-MATERIALIZED token array.
 
-    Texts shorter than ``k`` tokens produce one shingle = the whole token
-    list, so no document vanishes from the index. The window is expressed
-    with ``transform(sequence(...))`` + ``slice`` — a vectorized JVM loop,
-    no explode, no Python.
+    ``toks`` must be a plain column attribute, not an expression: any
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated once PER ELEMENT (Catalyst performs no CSE across
+    lambda iterations), which turns tokenization into
+    O(n_tokens · |text|) per row — a measured 26× slowdown. Callers go
+    through the DataFrame helpers below, which introduce the projection
+    boundary. Texts shorter than ``k`` tokens produce one shingle = the
+    whole token list, so no document vanishes from the index.
     """
-    toks = tokens(col)
     n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n),
@@ -49,8 +52,8 @@ def shingles(col: Column, k: int) -> Column:
     return F.array_distinct(F.filter(grams, lambda g: g != F.lit("")))
 
 
-def shingle_hashes(col: Column, k: int) -> Column:
-    """Sorted distinct 64-bit shingle hashes (array<long>).
+def shingle_hashes_from_tokens(toks: Column, k: int) -> Column:
+    """Sorted distinct 64-bit shingle hashes from a token-array column.
 
     The set representation used by the whole pipeline: int64 hashes, never
     strings (SURVEY §7.4.5 — 10^12-turn arithmetic needs fixed-width keys;
@@ -58,12 +61,40 @@ def shingle_hashes(col: Column, k: int) -> Column:
     Sorted so that downstream ``array_intersect`` and signature computation
     are deterministic regardless of input row order.
     """
-    return F.array_sort(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))
+    return F.array_sort(
+        F.transform(shingles_from_tokens(toks, k), lambda s: F.xxhash64(s)))
 
 
-def char_shingle_hashes(col: Column, k: int) -> Column:
-    """Character-k-gram variant (for short/ungrammatical text)."""
-    norm = normalize_text(col)
+def shingles(col: Column, k: int) -> Column:
+    """Column-level convenience (SMALL/TEST data only — see
+    shingles_from_tokens for why: the token expression re-evaluates per
+    shingle position when inlined into the HOF lambda)."""
+    return shingles_from_tokens(tokens(col), k)
+
+
+def shingle_hashes(col: Column, k: int) -> Column:
+    """Column-level convenience (SMALL/TEST data only)."""
+    return shingle_hashes_from_tokens(tokens(col), k)
+
+
+def add_shingle_hash_sets(df, text_col: str, k: int,
+                          out_col: str = "items"):
+    """DataFrame helper: text → sorted distinct shingle-hash sets with the
+    tokens materialized at a projection boundary (the fast path).
+
+    The token alias is referenced more than once downstream, so
+    CollapseProject keeps the boundary and tokenization runs exactly
+    once per row.
+    """
+    tmp = "_toks__"
+    with_toks = df.withColumn(tmp, tokens(F.col(text_col)))
+    return with_toks.withColumn(
+        out_col, shingle_hashes_from_tokens(F.col(tmp), k)).drop(tmp)
+
+
+def char_shingle_hashes_from_norm(norm: Column, k: int) -> Column:
+    """Character-k-gram hashes from a MATERIALIZED normalized-text column
+    (same per-element re-evaluation hazard as shingles_from_tokens)."""
     n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k)
@@ -74,3 +105,8 @@ def char_shingle_hashes(col: Column, k: int) -> Column:
                         lambda g: F.xxhash64(g))
         )
     )
+
+
+def char_shingle_hashes(col: Column, k: int) -> Column:
+    """Column-level convenience (SMALL/TEST data only)."""
+    return char_shingle_hashes_from_norm(normalize_text(col), k)

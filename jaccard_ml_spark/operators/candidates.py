@@ -100,10 +100,17 @@ def _salted_pairs(buckets: DataFrame, salt_factor: int) -> DataFrame:
      .select("band_id", "bucket_hash", "id_b", "p",
              F.col("salt").alias("q"))
 
+    # p < q blocks: one orientation per unordered pair already (A side
+    # carries salt p members, B side salt q members) → canonicalize with
+    # least/greatest. p == q blocks: the self-join yields both
+    # orientations → keep id_a < id_b only.
     return (
         a_side.join(b_side, ["band_id", "bucket_hash", "p", "q"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .where((F.col("p") != F.col("q"))
+               | (F.col("id_a") < F.col("id_b")))
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"))
     )
 
 

@@ -76,21 +76,26 @@ def connected_components(
         .localCheckpoint()
     )
 
+    def _signature(e) -> tuple:
+        """One job: (count, sum of canonical-edge hashes). Stability of
+        this pair is the fixpoint test — replaces the exceptAll shuffle
+        with a single aggregate (order-independent, collision-safe in
+        practice at 64 bits)."""
+        h = F.xxhash64(F.greatest("src", "dst"), F.least("src", "dst"))
+        row = e.select(
+            F.count("*").alias("n"),
+            F.bit_xor(h).alias("x"),
+            F.sum(F.pmod(h, F.lit(1_000_000_007))).alias("m"),
+        ).first()
+        return (row.n, row.x, row.m)
+
+    sig = _signature(edges)
     for _ in range(max_iterations):
-        edges2 = _small_star(_large_star(edges)).localCheckpoint()
-        # convergence: the canonical edge multiset is unchanged
-        changed = (
-            edges2.select(F.greatest("src", "dst").alias("a"),
-                          F.least("src", "dst").alias("b"))
-            .exceptAll(
-                edges.select(F.greatest("src", "dst").alias("a"),
-                             F.least("src", "dst").alias("b")))
-            .limit(1).count()
-        )
-        old = edges
-        edges = edges2
-        if changed == 0 and edges2.count() == old.count():
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _signature(edges)
+        if new_sig == sig:
             break
+        sig = new_sig
 
     # at fixpoint every edge is (member, root)
     members = edges.select(F.col("src").alias("id"),

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jaccard_ml_spark.functions import stable_round6
-from jaccard_ml_spark.functions.text import shingles, tokens
+from jaccard_ml_spark.functions.text import shingles_from_tokens, tokens
 
 # tiny pinned stopword lists (public knowledge); deterministic tie-break
 # by language code; zero hits → 'und'
@@ -111,10 +111,13 @@ def fingerprint(docs: DataFrame, k_shingle: int = 5, bottom_k: int = 4,
     verbatim in both Spark and DuckDB) — two docs share a fingerprint iff
     their smallest shingle hashes agree, a cheap pre-filter for dedup.
     """
-    sh = shingles(F.col(text_col), k_shingle)
-    digests = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
-    return docs.select(
+    with_toks = docs.select(F.col(id_col),
+                            tokens(F.col(text_col)).alias("_toks"))
+    sh = shingles_from_tokens(F.col("_toks"), k_shingle)
+    with_sh = with_toks.select(F.col(id_col), sh.alias("_sh"))
+    digests = F.array_sort(F.transform(F.col("_sh"), lambda s: F.md5(s)))
+    return with_sh.select(
         F.col(id_col),
-        F.size(sh).cast("long").alias("n_shingles"),
+        F.size("_sh").cast("long").alias("n_shingles"),
         F.array_join(F.slice(digests, 1, bottom_k), "|").alias("fingerprint"),
     )

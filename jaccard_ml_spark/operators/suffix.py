@@ -31,16 +31,23 @@ from jaccard_ml_spark.operators.dedup import containment_pairs
 
 def anchor_sets(docs: DataFrame, k_char: int = 24, mod: int = 8,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, items): content-keyed sampled char-k-gram hashes."""
-    norm = normalize_text(F.col(text_col))
+    """(id, items): content-keyed sampled char-k-gram hashes.
+
+    The normalized text is materialized as a column attribute before the
+    gram loop (HOF-lambda re-evaluation hazard — functions/text.py).
+    """
+    with_norm = docs.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("_norm"))
+    norm = F.col("_norm")
     n = F.greatest(F.length(norm) - F.lit(k_char - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.xxhash64(F.substring(norm, i, k_char)),
     )
     sampled = F.filter(grams, lambda h: F.pmod(h, F.lit(mod)) == 0)
-    return docs.select(
-        F.col(id_col).alias("id"),
+    return with_norm.select(
+        "id",
         F.array_sort(F.array_distinct(sampled)).alias("items"),
     ).where(F.size("items") > 0)
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jaccard_ml_spark.config import DedupConfig
-from jaccard_ml_spark.functions.text import shingle_hashes
+from jaccard_ml_spark.functions.text import add_shingle_hash_sets
 from jaccard_ml_spark.operators.assemble import assemble_conversations
 from jaccard_ml_spark.operators.candidates import (
     candidate_pairs,
@@ -43,10 +43,9 @@ class DedupResult:
 
 def shingle_sets_from_conversations(conversations: DataFrame,
                                     cfg: DedupConfig) -> DataFrame:
-    return conversations.select(
-        F.col("conv_id").alias("id"),
-        shingle_hashes(F.col("text"), cfg.k_shingle).alias("items"),
-    )
+    base = conversations.select(F.col("conv_id").alias("id"), "text")
+    return add_shingle_hash_sets(base, "text", cfg.k_shingle).select(
+        "id", "items")
 
 
 def dedup_pipeline(transcripts: DataFrame, cfg: DedupConfig,
@@ -84,10 +83,10 @@ def dedup_documents(docs: DataFrame, cfg: DedupConfig,
                     id_col: str = "doc_id", text_col: str = "text",
                     cache: bool = True) -> DedupResult:
     """Same pipeline for a flat document table (no assembly stage)."""
-    sets_df = docs.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), cfg.k_shingle).alias("items"),
-    )
+    sets_df = add_shingle_hash_sets(
+        docs.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("text")),
+        "text", cfg.k_shingle).select("id", "items")
     if cache:
         sets_df = sets_df.persist()
     signatures = minhash_signatures(sets_df, cfg)

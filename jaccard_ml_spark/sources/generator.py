@@ -189,7 +189,10 @@ def generate_transcripts(
     os.makedirs(out_dir, exist_ok=True)
     t_path = os.path.join(out_dir, "transcripts.parquet")
     g_path = os.path.join(out_dir, "truth_groups.parquet")
-    df.to_parquet(t_path, index=False)
+    # microsecond timestamps: Spark's vectorized parquet reader rejects
+    # the pyarrow-default TIMESTAMP(NANOS) physical type
+    df.to_parquet(t_path, index=False, coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
     truth.to_parquet(g_path, index=False)
     return {"transcripts": t_path, "truth_groups": g_path,
             "n_convs": len(convs), "n_turns": len(df)}
