@@ -146,7 +146,7 @@ def q_lsh_near_dup_pairs(spark, sf_dir):
     """MinHash→LSH→verify at J ≥ 0.8; oracle is the exact computation
     (recall is 1−(1−t^r)^b ≈ 1−5e-8 at the threshold — differential
     testing in the reference's golden-file style)."""
-    sets_df = _doc_sets(spark, sf_dir)
+    sets_df = _doc_sets(spark, sf_dir).persist()
     sigs = minhash_signatures(sets_df, CFG)
     from jaccard_ml_spark.operators.candidates import candidate_pairs
     from jaccard_ml_spark.operators.verify import verify_pairs
@@ -267,6 +267,14 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Exact embedding near-duplicates (cosine >= 0.4; the synthetic
+    vectors max out at ~0.51 pairwise) — the embedding-
+    cosine dedup path; ann_topk is its approximate scale twin."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.cosine_dup_pairs(emb, threshold=0.4)
+
+
 def q_simhash32(spark, sf_dir):
     """SQL-replicable 32-bit SimHash (md5 token hashes) — the oracle-
     checkable twin of the engine's 64-bit xxhash SimHash
@@ -336,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_stats": q_minhash_band_stats,
         "ann_topk": q_ann_topk,
         "binary_meta": q_binary_meta,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "simhash32": q_simhash32,
         "simhash_near_pairs": q_simhash_near_pairs,
         "substring_pairs": q_substring_pairs,
@@ -364,7 +373,9 @@ SELECT d.doc_id,
        floor((CASE WHEN len(t.toks) > 0
              THEN list_sum(list_transform(t.toks, x -> length(x))) * 1.0
                   / len(t.toks)
-             ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len
+             ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+       coalesce(list_sum(list_transform(t.toks,
+                x -> floor((length(x) + 3) / 4))), 0)::BIGINT AS bpe_token_est
 FROM documents d JOIN toks t USING (doc_id)
 """
 
@@ -555,6 +566,18 @@ SELECT doc_id,
        substr(md5(text), 1, 8) AS content_key
 FROM documents
 """
+    sql["embedding_dup_pairs"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+sc AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.4
+"""
+
     sql["simhash32"] = f"""
 WITH {_SQL_TOKS},
 tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toks),

@@ -45,17 +45,24 @@ def minhash_signatures(sets_df: DataFrame, cfg: DedupConfig,
 
 
 def lsh_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(id, signature) → (band_id, bucket_hash, id), one row per band."""
+    """(id, signature) → (band_id, bucket_hash, id), one row per band.
+
+    Deliberately slim — 24 bytes/row. Carrying the 128-long signature
+    array through the bucket exchanges multiplies shuffle volume ~40×
+    (measured 50s+69s → ~5s at 3.8M bucket rows); stages that need the
+    signature (mega-bucket band splitting) join it back by id for the
+    few rows involved.
+    """
     return (
         signatures
         .select(
-            "id", "signature",
+            "id",
             F.posexplode(
                 band_hash_cols(F.col("signature"), cfg.bands,
                                cfg.rows_per_band)
             ).alias("band_id", "bucket_hash"),
         )
-        .select("band_id", "bucket_hash", "id", "signature")
+        .select("band_id", "bucket_hash", "id")
     )
 
 
@@ -75,6 +82,24 @@ def _pairs_from_buckets(buckets: DataFrame) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+
+
+def _pairs_from_members(grouped: DataFrame) -> DataFrame:
+    """All within-bucket pairs generated JVM-side from the sorted member
+    array — zero additional exchanges (the groupBy already co-located
+    each bucket). Bounded by the normal-class cap c0 → ≤ c0·(c0−1)/2
+    pairs per row."""
+    m = F.col("members")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(m) - 1),
+        lambda i: F.transform(
+            F.slice(m, i + 1, F.size(m)),
+            lambda y: F.struct(F.element_at(m, i).alias("id_a"),
+                               y.alias("id_b")),
+        ),
+    ))
+    return grouped.select(F.explode(pair_structs).alias("_p")).select(
+        F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
 
 
 def _salted_pairs(buckets: DataFrame, salt_factor: int) -> DataFrame:
@@ -114,16 +139,20 @@ def _salted_pairs(buckets: DataFrame, salt_factor: int) -> DataFrame:
     )
 
 
-def _band_split_buckets(mega: DataFrame, cfg: DedupConfig) -> DataFrame:
+def _band_split_buckets(mega: DataFrame, signatures: DataFrame,
+                        cfg: DedupConfig) -> DataFrame:
     """Re-bucket mega-bucket members with a finer (longer) band hash.
 
     Uses rows_per_band + band_split_extra_rows signature rows starting at
     the band's offset (slice clamps at the signature end). Emitted with a
     shifted band_id namespace so refined buckets never merge with
-    originals.
+    originals. Signatures are joined back by id — mega membership is
+    tiny by construction, so this join touches few rows.
     """
     r, extra = cfg.rows_per_band, cfg.band_split_extra_rows
-    return mega.select(
+    with_sig = mega.select("band_id", "id").join(
+        signatures.select("id", "signature"), "id")
+    return with_sig.select(
         (F.col("band_id") + F.lit(cfg.bands)).alias("band_id"),
         F.xxhash64(
             F.slice(F.col("signature"), F.col("band_id") * r + 1, r + extra),
@@ -133,39 +162,69 @@ def _band_split_buckets(mega: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
+                    cache: bool = True) -> DataFrame:
     """LSH candidate pairs (id_a, id_b), skew-aware, exactly-once.
 
     Returns distinct canonical pairs. The union of three strategies by
     bucket class; `distinct()` collapses pairs found by several bands
     (it is the compute-once tie-break F1 of the reference in shuffle
     form).
+
+    The bucket table is persisted at the strategy fan-out: the plan
+    below it branches 5+ ways (stats join, three pairing strategies,
+    refined re-hash), and Catalyst does not CSE across branches — an
+    unpersisted bucket table re-runs the MinHash UDF once per branch
+    (measured 48 Arrow evals in the naive plan). On a production
+    cluster this is the checkpointed signature/bucket Iceberg table.
     """
+    if cache:
+        # mega-bucket band splitting joins signatures back by id; keep
+        # them warm so the (rare) branch doesn't recompute the UDF
+        signatures = signatures.persist()
     buckets = lsh_buckets(signatures, cfg)
-    stats = bucket_stats(buckets)
-    classed = buckets.join(stats, ["band_id", "bucket_hash"])
+    # ONE exchange: group each bucket's members together. Everything
+    # below works on the grouped table — within-bucket pairs are
+    # generated JVM-side from the member array (no self-joins, which
+    # would each re-exchange the full bucket table per strategy branch;
+    # measured 6×236 MB of redundant shuffles in the join formulation).
+    grouped = buckets.groupBy("band_id", "bucket_hash").agg(
+        F.sort_array(F.collect_list("id")).alias("members"),
+        F.count("*").alias("bucket_size"),
+    )
+    if cache:
+        # eager: the strategy branches below share this subtree, and a
+        # cold cache races under AQE (branches each materialize it)
+        grouped = grouped.persist()
+        grouped.count()
 
     c0, c1 = cfg.salt_threshold_c0, cfg.band_split_c1
 
-    normal = classed.where(
+    normal = grouped.where(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= c0))
-    hot = classed.where(
-        (F.col("bucket_size") > c0) & (F.col("bucket_size") <= c1))
-    mega = classed.where(F.col("bucket_size") > c1)
+    hot = grouped.where(
+        (F.col("bucket_size") > c0) & (F.col("bucket_size") <= c1)
+    ).select("band_id", "bucket_hash",
+             F.explode("members").alias("id"))
+    mega = grouped.where(F.col("bucket_size") > c1).select(
+        "band_id", "bucket_hash", F.explode("members").alias("id"))
 
-    pairs = _pairs_from_buckets(normal).unionByName(
+    pairs = _pairs_from_members(normal).unionByName(
         _salted_pairs(hot, cfg.salt_factor))
 
-    # refined mega buckets: size-1 refined buckets drop out naturally in
-    # the self-join; genuinely identical texts still pair because their
-    # refined hashes agree on every row
-    refined = _band_split_buckets(mega, cfg)
-    refined_stats = refined.groupBy("band_id", "bucket_hash").agg(
-        F.count("*").alias("bucket_size"))
-    refined = refined.join(refined_stats, ["band_id", "bucket_hash"])
-    refined_normal = refined.where(F.col("bucket_size") <= c0)
-    refined_hot = refined.where(F.col("bucket_size") > c0)
-    pairs = pairs.unionByName(_pairs_from_buckets(refined_normal))
+    # refined mega buckets: size-1 refined buckets drop out naturally;
+    # genuinely identical texts still pair because their refined hashes
+    # agree on every row
+    refined = _band_split_buckets(mega, signatures, cfg)
+    refined_grouped = refined.groupBy("band_id", "bucket_hash").agg(
+        F.sort_array(F.collect_list("id")).alias("members"),
+        F.count("*").alias("bucket_size"),
+    )
+    refined_normal = refined_grouped.where(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= c0))
+    refined_hot = refined_grouped.where(F.col("bucket_size") > c0).select(
+        "band_id", "bucket_hash", F.explode("members").alias("id"))
+    pairs = pairs.unionByName(_pairs_from_members(refined_normal))
     pairs = pairs.unionByName(_salted_pairs(refined_hot, cfg.salt_factor))
 
     return pairs.distinct()

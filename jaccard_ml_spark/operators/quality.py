@@ -45,6 +45,12 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
                                lambda acc, t: acc + F.length(t))
                    / F.size(toks)).otherwise(F.lit(0.0))
         ).alias("avg_token_len"),
+        # BPE-ish subword estimate: ceil(len/4) per token — the classic
+        # ~4-chars-per-token heuristic, integer-exact in any engine
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+        ).alias("bpe_token_est"),
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jaccard_ml_spark.functions import stable_round6
-from jaccard_ml_spark.functions.embeddings import cosine, dot
+from jaccard_ml_spark.functions.embeddings import cosine, dot, norm
 
 
 def cosine_topk(
@@ -53,6 +53,39 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine",
                 F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: cosine ≥ threshold.
+
+    All-pairs exact (the embedding analog of setsim.exact_jaccard_pairs
+    — the oracle/baseline path; ann_topk is the approximate scale path).
+    Norms are precomputed per vector so the cross join multiplies
+    normalized vectors only.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    ).withColumn("_n", norm(F.col("_v")))
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                 F.col("_n").alias("_na"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                 F.col("_n").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            stable_round6(dot(F.col("_va"), F.col("_vb"))
+                          / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
     )
 
 

@@ -47,7 +47,11 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "134217728",
         # deterministic timestamps in tests / oracle comparisons
         "spark.sql.session.timeZone": "UTC",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # local mode: driver heap hosts every task's sort/join/window
+        # buffers plus the block-manager cache — size for the thread
+        # count (8g starves 32 concurrent tasks into GC thrash)
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                              "32g"),
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     }
