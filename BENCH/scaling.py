@@ -69,14 +69,14 @@ def run_level(cores: int, tx_path: str) -> dict:
                        f"{out.stderr[-4000:]}")
 
 
-def hw_calibration() -> dict:
-    """Measure the machine's own process-scaling ceiling (co-tenant /
-    SMT effects) so job efficiency is judged against real capacity."""
+def spin_capacity(n: int, seconds: float = 2.0) -> int:
+    """Total spin-loop iterations achievable by n concurrent processes
+    right now — a point sample of the co-tenant host's free capacity."""
     import multiprocessing as mp
     import time as _t
 
     def spin(q):
-        t_end = _t.time() + 2.0
+        t_end = _t.time() + seconds
         c = 0
         while _t.time() < t_end:
             for _ in range(10000):
@@ -84,14 +84,17 @@ def hw_calibration() -> dict:
             c += 1
         q.put(c)
 
-    out = {}
-    for n in (1, 4, 8, 16, 32):
-        q = mp.Queue()
-        ps = [mp.Process(target=spin, args=(q,)) for _ in range(n)]
-        [p.start() for p in ps]
-        out[n] = sum(q.get() for _ in ps)
-        [p.join() for p in ps]
-    return out
+    q = mp.Queue()
+    ps = [mp.Process(target=spin, args=(q,)) for _ in range(n)]
+    [p.start() for p in ps]
+    total = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    return total
+
+
+def hw_calibration() -> dict:
+    """Machine process-scaling ceiling across levels (one sweep)."""
+    return {n: spin_capacity(n) for n in (1, 4, 8, 16, 32)}
 
 
 def main() -> None:
@@ -116,19 +119,27 @@ def main() -> None:
     best: dict[int, dict] = {}
     for rnd in range(rounds):
         for cores in (lo, hi):
+            cap = spin_capacity(cores)
             r = run_level(cores, tx_path)
+            r["spin_capacity"] = cap
             print(f"round {rnd} local[{cores}]: {r['wall_sec']}s "
-                  f"({r['turns_per_sec']} turns/s)", flush=True)
+                  f"({r['turns_per_sec']} turns/s, spin cap {cap})",
+                  flush=True)
             if cores not in best or (r["turns_per_sec"]
                                      > best[cores]["turns_per_sec"]):
                 best[cores] = r
             assert r["result_hash"] == best[cores]["result_hash"]
     r8, r32 = best[lo], best[hi]
     eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4.0
+    # capacity-adjusted: divide each level's throughput by the host
+    # capacity sampled right before that run (co-tenant correction)
+    eff_adj = ((r32["turns_per_sec"] / r32["spin_capacity"])
+               / (r8["turns_per_sec"] / r8["spin_capacity"]))
     same = r8["result_hash"] == r32["result_hash"]
     report = {
         f"local{lo}": r8, f"local{hi}": r32,
         "scaling_efficiency": round(eff, 3),
+        "capacity_adjusted_efficiency": round(eff_adj, 3),
         "results_identical": same,
         "hw_calibration_spin": hw,
         "hw_ceiling_efficiency": round(hw_eff, 3),
@@ -153,7 +164,11 @@ between runs — best-of-N per level samples the least-contended run).
 | local[{hi}] | {r32['wall_sec']} | {r32['turns_per_sec']} | `{r32['result_hash']}` |
 
 **Scaling efficiency = (throughput_{hi} / throughput_{lo}) / 4 =
-{round(eff, 3)}** (target ≥ 0.8)
+{round(eff, 3)}** (target ≥ 0.8).
+Capacity-adjusted efficiency (each level's throughput normalized by a
+spin-loop sample of the co-tenant host's free capacity taken
+immediately before that run, spin({lo})={r8['spin_capacity']},
+spin({hi})={r32['spin_capacity']}): **{round(eff_adj, 3)}**.
 
 Levels {lo} and {hi} (N, 4N) are used because the sandbox host itself
 stops scaling past ~24 concurrent processes: a pure-CPU spin

@@ -254,6 +254,13 @@ def q_ann_topk(spark, sf_dir):
     return S.ann_topk(emb, dim=64, k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (k-means cells) approximate top-k neighbors (rows-only:
+    seeded k-means centroids are not SQL-expressible)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ivf_topk(emb, dim=64, k=5)
+
+
 def q_binary_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload + typed metadata
     (documents text re-encoded as the stand-in payload; real decode is
@@ -343,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_df_histogram": q_shingle_df_histogram,
         "minhash_band_stats": q_minhash_band_stats,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "binary_meta": q_binary_meta,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "simhash32": q_simhash32,

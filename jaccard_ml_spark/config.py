@@ -19,9 +19,15 @@ class DedupConfig:
     # --- shingling ---------------------------------------------------
     k_shingle: int = 5            # token k-grams
     # --- MinHash / LSH ----------------------------------------------
-    num_perm: int = 128           # MinHash permutations
-    bands: int = 32               # LSH bands
-    rows_per_band: int = 4        # rows per band (bands * rows == num_perm)
+    # (b=16, r=6) instead of the naive (32, 4): recall at the J=0.8
+    # threshold is 1-(1-0.8^6)^16 = 0.992 (≥ the 0.99 gate), while the
+    # false-candidate rate at J≈0.16 (boilerplate-sharing convs — the
+    # hot-clique pathology) drops ~75×, killing a measured quadratic
+    # candidate blowup. This is the reference's stats-driven parameter
+    # selection (ml_model.py) applied to banding.
+    num_perm: int = 96            # MinHash permutations
+    bands: int = 16               # LSH bands
+    rows_per_band: int = 6        # rows per band (bands * rows == num_perm)
     jaccard_threshold: float = 0.8
     minhash_seed: int = 42
     # --- skew handling (the degree-binning analog, SURVEY §4.4) ------

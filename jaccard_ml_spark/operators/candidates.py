@@ -73,17 +73,6 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
         F.count("*").alias("bucket_size"))
 
 
-def _pairs_from_buckets(buckets: DataFrame) -> DataFrame:
-    """Self-join members of each bucket → canonical (id_a < id_b) pairs."""
-    left = buckets.select("band_id", "bucket_hash", F.col("id").alias("id_a"))
-    right = buckets.select("band_id", "bucket_hash", F.col("id").alias("id_b"))
-    return (
-        left.join(right, ["band_id", "bucket_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-
-
 def _pairs_from_members(grouped: DataFrame) -> DataFrame:
     """All within-bucket pairs generated JVM-side from the sorted member
     array — zero additional exchanges (the groupBy already co-located

@@ -129,8 +129,8 @@ def ann_topk(
     vectors: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -139,7 +139,12 @@ def ann_topk(
     → within-bucket pairing → exact cosine → per-id top-k.
 
     Multiple hash tables recover recall the way extra LSH bands do for
-    MinHash (same 1-(1-p^r)^b trade).
+    MinHash (same 1-(1-p^r)^b trade). Plane/table counts are the
+    recall-vs-candidates knob and MUST be tuned to the corpus's angle
+    distribution: clustered real-world embeddings tolerate 8-16 planes;
+    near-uniform vectors (neighbor angles 60°+) need few planes — at
+    cos≈0.5 a plane agrees with p≈0.67, so 4 planes × 8 tables gives
+    recall ≈ 1-(1-0.67^4)^8 ≈ 0.83 while 12 planes gives ≈ 1%.
     """
     tables = []
     for t in range(n_tables):
@@ -157,6 +162,109 @@ def ann_topk(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
+    vecs = vectors.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).alias("_v"))
+    scored = (
+        cand
+        .join(vecs.withColumnsRenamed({"_id": "id_a", "_v": "_va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"_id": "id_b", "_v": "_vb"}), "id_b")
+        .select("id_a", "id_b",
+                stable_round6(cosine(F.col("_va"), F.col("_vb")))
+                .alias("cosine"))
+    )
+    sym = scored.unionByName(scored.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine"))
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id_a").alias("query_id"),
+                F.col("id_b").alias("neighbor_id"), "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (numpy).
+
+    The coarse quantizer for IVF: tiny (k × dim floats), broadcast as
+    literals. Seeded initialization + fixed iteration count → identical
+    centroids on every run and at any parallelism.
+    """
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(vectors: DataFrame, centroids: np.ndarray,
+               nprobe: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cell) assignment for IVF: each vector lands in its nearest
+    `nprobe` centroid cells (probing > 1 cell recovers neighbors that
+    straddle a cell boundary — the recall knob).
+
+    Distance to each centroid is a JVM expression over literal arrays:
+    ||v - c||² = ||v||² - 2·v·c + ||c||², and since ||v||² is shared,
+    ranking by (||c||² - 2·v·c) suffices — one dot product per cell.
+    """
+    scores = F.array(*[
+        F.struct(
+            (F.lit(float((c * c).sum()))
+             - 2.0 * dot(F.col(vec_col), F.array(*[F.lit(float(x))
+                                                   for x in c])))
+            .alias("score"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    probed = F.slice(F.array_sort(scores), 1, nprobe)
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    sample_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate all-pairs top-k: coarse-quantize into cells,
+    pair within probed cells, exact cosine, per-id top-k.
+
+    The IVF counterpart of ann_topk (sign-LSH): cells come from a
+    seeded k-means over a deterministic sample (vec_id order, not
+    random split — reproducible). At corpus scale the sample is a
+    `LIMIT sample_size` over a hash-ordered projection.
+    """
+    sample_rows = (vectors.select(vec_col)
+                   .orderBy(F.xxhash64(F.col(id_col)))
+                   .limit(sample_size).collect())
+    sample = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    cents = kmeans_centroids(sample, n_cells, seed=seed)
+
+    assigned = ivf_assign(vectors, cents, nprobe, id_col, vec_col)
+    left = assigned.select("cell", F.col("id").alias("id_a"))
+    right = assigned.select("cell", F.col("id").alias("id_b"))
+    cand = (left.join(right, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
     vecs = vectors.select(F.col(id_col).alias("_id"),
                           F.col(vec_col).alias("_v"))
     scored = (

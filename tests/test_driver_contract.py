@@ -27,7 +27,7 @@ def test_queries_have_oracles_or_are_flagged(spark):
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
     # only the genuinely non-SQL-expressible ops may omit an oracle
-    assert set(qs) - set(os_) == {"minhash_band_stats", "ann_topk",
+    assert set(qs) - set(os_) == {"minhash_band_stats", "ann_topk", "ivf_topk",
         "simhash_near_pairs", "substring_pairs"}
 
 
