@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from jaccard_ml_spark.config import DedupConfig
 from jaccard_ml_spark.functions import stable_round6 as _r6
-from jaccard_ml_spark.functions.text import add_shingle_hash_sets
+from jaccard_ml_spark.functions.shingle_arrow import (
+    add_shingle_hash_sets_arrow as add_shingle_hash_sets,
+)
 from jaccard_ml_spark.operators import dedup as D
 from jaccard_ml_spark.operators import quality as Q
 from jaccard_ml_spark.operators import similarity as S

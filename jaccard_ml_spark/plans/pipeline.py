@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jaccard_ml_spark.config import DedupConfig
-from jaccard_ml_spark.functions.text import add_shingle_hash_sets
+from jaccard_ml_spark.functions.shingle_arrow import (
+    add_shingle_hash_sets_arrow,
+)
 from jaccard_ml_spark.operators.assemble import assemble_conversations
 from jaccard_ml_spark.operators.candidates import (
     candidate_pairs,
@@ -44,7 +46,7 @@ class DedupResult:
 def shingle_sets_from_conversations(conversations: DataFrame,
                                     cfg: DedupConfig) -> DataFrame:
     base = conversations.select(F.col("conv_id").alias("id"), "text")
-    return add_shingle_hash_sets(base, "text", cfg.k_shingle).select(
+    return add_shingle_hash_sets_arrow(base, "text", cfg.k_shingle).select(
         "id", "items")
 
 
@@ -83,7 +85,7 @@ def dedup_documents(docs: DataFrame, cfg: DedupConfig,
                     id_col: str = "doc_id", text_col: str = "text",
                     cache: bool = True) -> DedupResult:
     """Same pipeline for a flat document table (no assembly stage)."""
-    sets_df = add_shingle_hash_sets(
+    sets_df = add_shingle_hash_sets_arrow(
         docs.select(F.col(id_col).alias("id"),
                     F.col(text_col).alias("text")),
         "text", cfg.k_shingle).select("id", "items")
