@@ -250,17 +250,30 @@ def q_minhash_band_stats(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    """Sign-LSH approximate top-k neighbors (rows-only: hyperplane LSH
-    uses seeded normals, not SQL-expressible)."""
+    """Sign-LSH approximate top-k neighbors. At the driver's sf0.01
+    correctness scale (n=500 ≤ brute_cutoff=512) the exact broadcast
+    path runs, so the all-pairs top-k SQL is a true differential
+    oracle; the LSH path (exercised at bench sf0.1, n=2000) is
+    recall-tested in tests/test_similarity.py with the cutoff off."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.ann_topk(emb, dim=64, k=5)
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF (k-means cells) approximate top-k neighbors (rows-only:
-    seeded k-means centroids are not SQL-expressible)."""
+    """IVF (k-means cells) approximate top-k neighbors; same
+    brute-below-cutoff contract as q_ann_topk (exact at sf0.01,
+    IVF cells at bench scale)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.ivf_topk(emb, dim=64, k=5)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Bucketed embedding threshold-dedup (sign-LSH candidates + exact
+    cosine verify) — the scale twin of embedding_dup_pairs (VERDICT r1
+    item 3). Same schema/rounding as the exact path, so the cross-join
+    oracle doubles as its check; exact below brute_cutoff."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.embedding_near_dup_pairs(emb, threshold=0.4, dim=64)
 
 
 def q_binary_meta(spark, sf_dir):
@@ -282,6 +295,19 @@ def q_embedding_dup_pairs(spark, sf_dir):
     cosine dedup path; ann_topk is its approximate scale twin."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.cosine_dup_pairs(emb, threshold=0.4)
+
+
+def q_size_window(spark, sf_dir):
+    """Degree/size-window filter (reference F2/F3 bin predicate): docs
+    whose distinct-shingle cardinality lies in [40, 400]."""
+    from jaccard_ml_spark.operators.setsim import (
+        set_sizes,
+        size_window_filter,
+    )
+    kept = size_window_filter(_doc_sets(spark, sf_dir), 40, 400)
+    return set_sizes(kept).select(F.col("id").alias("doc_id"),
+                                  F.col("set_size").cast("long")
+                                  .alias("set_size"))
 
 
 def q_simhash32(spark, sf_dir):
@@ -320,13 +346,46 @@ def q_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(fps, CFG)
 
 
+def q_simhash32_near_pairs(spark, sf_dir):
+    """Hamming-ball pairs over the SQL-replicable 32-bit SimHash — the
+    oracle-checkable twin of simhash_near_pairs (same pigeonhole block
+    join + exact bit_count verify, md5 hash family instead of xxhash).
+    Radius 3 over 4 blocks of 8 bits."""
+    from jaccard_ml_spark.operators.simhash_path import _blocks
+    radius = 3
+    fps = q_simhash32(spark, sf_dir).select(
+        "doc_id", F.col("simhash32").alias("simhash"))
+    blocks = _blocks(fps.withColumnRenamed("doc_id", "id"),
+                     n_blocks=radius + 1, bits=32)
+    left = blocks.select("block_id", "block_value",
+                         F.col("id").alias("id_a"),
+                         F.col("simhash").alias("_sa"))
+    right = blocks.select("block_id", "block_value",
+                          F.col("id").alias("id_b"),
+                          F.col("simhash").alias("_sb"))
+    cands = (left.join(right, ["block_id", "block_value"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_sa", "_sb").distinct())
+    return (cands
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                    .cast("long").alias("hamming"))
+            .where(F.col("hamming") <= radius))
+
+
 def q_substring_pairs(spark, sf_dir):
-    """Anchor-sampled substring containment, exact instr verification."""
+    """Anchor-sampled substring containment, exact instr verification.
+
+    Output: verified (id_small ⊂ id_big) pairs only — the anchor
+    containment score is xxhash-sample-dependent (not SQL-mirrorable),
+    but the verified pair SET is, so the DuckDB position() cross join
+    is the differential oracle. mod=4 at test scale bounds the
+    empty-sample miss probability below 2e-4 per contained doc
+    (operators/suffix.anchor_sets fallback note)."""
     from jaccard_ml_spark.operators.suffix import substring_pairs
-    out = substring_pairs(_docs(spark, sf_dir))
-    return out.select("id_small", "id_big",
-                      _r6(F.col("containment")).alias("containment"),
-                      "is_substring")
+    out = substring_pairs(_docs(spark, sf_dir), mod=4)
+    return (out.where(F.col("is_substring") == 1)
+            .select("id_small", "id_big"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -350,13 +409,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_convs": q_assemble_convs,
         "window_argmin": q_window_argmin,
         "shingle_df_histogram": q_shingle_df_histogram,
+        "size_window": q_size_window,
         "minhash_band_stats": q_minhash_band_stats,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "binary_meta": q_binary_meta,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
         "simhash32": q_simhash32,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "simhash32_near_pairs": q_simhash32_near_pairs,
         "substring_pairs": q_substring_pairs,
     }
 
@@ -588,6 +650,66 @@ sc AS (
 SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.4
 """
 
+    sql["size_window"] = f"""
+WITH {_SQL_SHINGLES}
+SELECT doc_id, count(*)::BIGINT AS set_size
+FROM s GROUP BY doc_id
+HAVING count(*) BETWEEN 40 AND 400
+"""
+
+    # the bucketed scale twin verifies with the same exact cosine, so
+    # the exact cross join is its oracle too (recall 1.0 at test scale:
+    # exact path below brute_cutoff)
+    sql["embedding_near_dup"] = sql["embedding_dup_pairs"]
+
+    # all-pairs exact top-k: valid oracle because at sf0.01 (n=500 ≤
+    # brute_cutoff) ann_topk/ivf_topk take the exact broadcast path
+    _ALL_PAIRS_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sc AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         floor((list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, nid) AS rn
+      FROM sc)
+SELECT qid AS query_id, nid AS neighbor_id, cosine, rn::BIGINT AS rank
+FROM r WHERE rn <= 5
+"""
+    sql["ann_topk"] = _ALL_PAIRS_TOPK
+    sql["ivf_topk"] = _ALL_PAIRS_TOPK
+
+    # substring containment: the verified pair set is hash-free, so the
+    # brute-force position() cross join mirrors it exactly. Orientation:
+    # contained side first; identical texts keep the lower id first —
+    # matching operators/suffix.substring_pairs' re-orientation rule.
+    # length(ta) >= 24 mirrors the operator's k_char floor (shorter
+    # docs have no anchors and fall to the md5 exact-dedup path).
+    sql["substring_pairs"] = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, a.t AS ta, b.t AS tb
+  FROM n a JOIN n b ON a.doc_id < b.doc_id
+),
+o AS (
+  SELECT CASE WHEN position(ta IN tb) > 0 THEN ia ELSE ib END AS id_small,
+         CASE WHEN position(ta IN tb) > 0 THEN ib ELSE ia END AS id_big,
+         CASE WHEN position(ta IN tb) > 0 THEN length(ta)
+              ELSE length(tb) END AS len_small
+  FROM p
+  WHERE position(ta IN tb) > 0 OR position(tb IN ta) > 0
+)
+SELECT id_small, id_big FROM o WHERE len_small >= 24
+"""
+
     sql["simhash32"] = f"""
 WITH {_SQL_TOKS},
 tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toks),
@@ -602,5 +724,16 @@ SELECT doc_id,
        sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
          AS simhash32
 FROM bits GROUP BY doc_id
+"""
+
+    # exact Hamming-ball pairs over the 32-bit twin: brute force at
+    # test scale (the Spark side's pigeonhole join is exact within the
+    # radius, so the pair sets must be identical)
+    sql["simhash32_near_pairs"] = f"""
+WITH sh AS ({sql['simhash32']})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash32, b.simhash32))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
 """
     return sql

@@ -31,6 +31,8 @@ HEADLINE = [
     "containment_pairs",
     "cosine_topk",
     "ann_topk",
+    "ivf_topk",
+    "embedding_near_dup",
     "assemble_convs",
 ]
 

@@ -3,8 +3,10 @@
 MinHash (Broder '97): signature[j] = min over set elements x of
 h_j(x), with h_j a seeded multiply-add universal hash mod 2^64
 (uint64 wraparound is the modulus — free and deterministic in numpy).
-128 permutations by default; the j-th row of two signatures collides
-with probability equal to the true Jaccard similarity.
+The permutation count comes from DedupConfig (default num_perm=96 =
+16 bands × 6 rows — see config.py for the recall math); the j-th row
+of two signatures collides with probability equal to the true Jaccard
+similarity.
 
 The computation crosses the JVM boundary once per Arrow batch (the
 ``input_hint`` mandate: no per-row Python); inside the batch it is one

@@ -2,26 +2,37 @@
 
 The JVM expression path (functions/text.py) allocates ~10-15 KB of
 short-lived objects per conversation (normalized string, ~400-900 token
-UTF8Strings, slices) — measured as the pipeline's scaling limiter: the
-assembly+shingle stage saturates the single-JVM allocator/GC long
-before it saturates cores (core-seconds inflate ~3× from 4→16 task
-threads while par stays ≈ n_cores).
+UTF8Strings, slices) — measured as the single-JVM scaling limiter: at
+local[16] the shared allocator collapses (94s → 226s vs local[4] on
+1.9M turns). This path does the same computation per Arrow batch in
+C-vectorized steps with NO per-token Python objects either — the
+round-1 version built a Python ``str`` per token (~700 per row), whose
+CPython obmalloc arena churn caused kernel-level mmap/munmap storms at
+high worker counts (675M page faults / 65-83%% system time measured).
 
-This path does the same computation per Arrow batch in C-vectorized
-steps instead:
+Per batch (all numpy, one pass over the concatenated UTF-8 bytes):
 
-  tokenize      python re.split per row (cheap relative to hashing)
-  token hash    pd.util.hash_array over one flat object array —
-                vectorized siphash, deterministic fixed key
-  k-gram hash   rolling polynomial over the flat uint64 token-hash
-                array with per-row boundary masking — pure numpy
+  normalize   256-byte lookup table: A-Z→a-z, a-z/0-9 identity,
+              everything else → 0 (token separator). Byte-exact with
+              the ``lower → [^a-z0-9]+→' ' → split`` definition for
+              ASCII; rows containing non-ASCII bytes take a per-row
+              fallback (same hash family) because Unicode lowercasing
+              can map into [a-z0-9] (e.g. Kelvin sign → 'k').
+  tokenize    token start/end indices via the separator mask — no
+              string slicing, just integer arrays
+  token hash  bounded-iteration polynomial over token bytes: iterate
+              byte position j (≤ _MAX_TOKEN_BYTES), each step one
+              vectorized multiply-add over all tokens still longer
+              than j. Token length is mixed in, so only equal-prefix
+              equal-length tokens ≥ 64 bytes can collide (documented).
+  k-gram hash rolling polynomial over the flat uint64 token-hash
+              array with per-row boundary masking — pure numpy
   distinct+sort np.unique per row slice
 
-Hash family differs from the JVM path (siphash+polynomial vs
+Hash family differs from the JVM path (byte-polynomial vs
 xxhash64-of-slices); set cardinalities, equality relations, and
 therefore Jaccard values are identical w.h.p. — both are content-keyed
-64-bit families. Tokenization is byte-identical to the JVM/DuckDB
-definition: lower → collapse [^a-z0-9]+ → trim → split → drop empties.
+64-bit families.
 """
 
 from __future__ import annotations
@@ -36,34 +47,128 @@ from pyspark.sql.functions import pandas_udf
 
 _NONALNUM = re.compile(r"[^a-z0-9]+")
 _MULT = np.uint64(0x9E3779B97F4A7C15)  # odd polynomial base
+_HSEED = np.uint64(0x243F6A8885A308D3)  # token-hash seed (pi bits)
+_MAX_TOKEN_BYTES = 64
+
+# byte → normalized byte (0 = separator)
+_LUT = np.zeros(256, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _LUT[_c] = _c
+for _c in range(ord("0"), ord("9") + 1):
+    _LUT[_c] = _c
+for _c in range(ord("A"), ord("Z") + 1):
+    _LUT[_c] = _c + 32
+
+
+def _finalize(h: np.ndarray, length: np.ndarray) -> np.ndarray:
+    """Mix token byte-length into the polynomial hash (splitmix-style)."""
+    h = (h + length.astype(np.uint64) * _MULT) ^ (h >> np.uint64(31))
+    return h * _MULT
+
+
+def _hash_tokens_from_bytes(norm: np.ndarray,
+                            starts: np.ndarray,
+                            ends: np.ndarray) -> np.ndarray:
+    """uint64 hash per token, bounded-iteration vectorized polynomial."""
+    n_tok = len(starts)
+    h = np.full(n_tok, _HSEED, dtype=np.uint64)
+    lens = ends - starts
+    max_len = int(lens.max()) if n_tok else 0
+    for j in range(min(max_len, _MAX_TOKEN_BYTES)):
+        active = lens > j
+        idx = starts[active] + j
+        h[active] = h[active] * _MULT + norm[idx].astype(np.uint64)
+    return _finalize(h, lens)
+
+
+def _hash_token_scalar(tok: str) -> np.uint64:
+    """Scalar twin of _hash_tokens_from_bytes for the non-ASCII
+    fallback — identical output for identical normalized tokens."""
+    full = tok.encode("utf-8")
+    bs = full[:_MAX_TOKEN_BYTES]
+    with np.errstate(over="ignore"):
+        h = _HSEED
+        for b in bs:
+            h = h * _MULT + np.uint64(b)
+        return _finalize(np.array([h], dtype=np.uint64),
+                         np.array([len(full)]))[0]
+
+
+def _tokenize_hash_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token-hash uint64 array, per-row token counts)."""
+    n_rows = len(texts)
+    counts = np.zeros(n_rows, dtype=np.int64)
+    bufs: list[bytes] = []
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    ascii_row = np.ones(n_rows, dtype=bool)
+    pos = 0
+    for i, t in enumerate(texts):
+        if t is None:
+            b = b""
+        else:
+            try:
+                b = t.encode("ascii")
+            except UnicodeEncodeError:
+                ascii_row[i] = False
+                b = b""
+        bufs.append(b)
+        pos += len(b) + 1          # +1: separator byte between rows
+        offs[i + 1] = pos
+
+    data = b"\x00".join(bufs) + b"\x00"
+    raw = np.frombuffer(data, dtype=np.uint8)
+    norm = _LUT[raw]
+
+    nz = norm != 0
+    prev = np.empty_like(nz)
+    prev[0] = False
+    prev[1:] = nz[:-1]
+    starts = np.flatnonzero(nz & ~prev)
+    nxt = np.empty_like(nz)
+    nxt[-1] = False
+    nxt[:-1] = nz[1:]
+    ends = np.flatnonzero(nz & ~nxt) + 1
+
+    th_fast = _hash_tokens_from_bytes(norm, starts, ends)
+    # row of each token: rows span [offs[i], offs[i+1]) in `data`
+    row_of = np.searchsorted(offs[1:], starts, side="right")
+    fast_counts = np.bincount(row_of, minlength=n_rows)
+    counts[:] = fast_counts
+
+    if ascii_row.all():
+        return th_fast, counts
+
+    # splice in per-row fallback hashes for non-ASCII rows (same
+    # normalization semantics as functions/text.py, same hash family)
+    pieces: list[np.ndarray] = []
+    cursor = 0
+    for i in range(n_rows):
+        if ascii_row[i]:
+            c = int(fast_counts[i])
+            pieces.append(th_fast[cursor:cursor + c])
+            cursor += c
+        else:
+            t = texts.iloc[i]
+            toks = _NONALNUM.sub(" ", t.lower()).split()
+            counts[i] = len(toks)
+            pieces.append(np.array([_hash_token_scalar(x) for x in toks],
+                                   dtype=np.uint64))
+    return (np.concatenate(pieces) if pieces
+            else np.empty(0, dtype=np.uint64)), counts
 
 
 def _shingle_batch(texts: pd.Series, k: int) -> pd.Series:
-    tok_lists = []
-    lens = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            tok_lists.append([])
-            lens[i] = 0
-            continue
-        toks = _NONALNUM.sub(" ", t.lower()).split()
-        tok_lists.append(toks)
-        lens[i] = len(toks)
+    with np.errstate(over="ignore"):
+        return _shingle_batch_inner(texts, k)
 
+
+def _shingle_batch_inner(texts: pd.Series, k: int) -> pd.Series:
+    th, lens = _tokenize_hash_batch(texts)
     empty = np.empty(0, dtype=np.int64)
-    total = int(lens.sum())
     out: list = [empty] * len(texts)
+    total = int(lens.sum())
     if total == 0:
         return pd.Series(out)
-
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for toks in tok_lists:
-        n = len(toks)
-        if n:
-            flat[pos:pos + n] = toks
-            pos += n
-    th = pd.util.hash_array(flat)  # uint64, vectorized siphash
 
     # rolling polynomial k-gram hash over the flat array; grams that
     # would cross a row boundary are masked out afterwards

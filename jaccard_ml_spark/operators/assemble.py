@@ -30,16 +30,23 @@ def assemble_conversations(
     ``turns`` is the ordered array of per-turn texts (for the per-turn
     equality invariant); ``text`` is the full assembled conversation.
     Duplicate (conv_id, turn_idx) rows keep the lexicographically first
-    text — deterministic under retries/speculative execution.
+    text — deterministic under retries / at-least-once ingestion:
+    ``array_sort`` orders duplicates (turn_idx asc, text asc), then the
+    filter keeps each turn_idx's first occurrence only. The inner
+    ``when`` guards the 1-based ``element_at`` so index 0 is never
+    touched (ANSI mode rejects it).
     """
+    sorted_turns = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    prev_differs = lambda x, i: F.when(  # noqa: E731
+        i == F.lit(0), F.lit(True)
+    ).otherwise(
+        x["turn_idx"] != F.element_at(F.col("_all"), i)["turn_idx"]
+    )
     return (
         transcripts
         .groupBy("conv_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("turn_idx", "text"))
-            ).alias("_sorted")
-        )
+        .agg(sorted_turns.alias("_all"))
+        .select("conv_id", F.filter("_all", prev_differs).alias("_sorted"))
         .select(
             "conv_id",
             F.size("_sorted").alias("n_turns"),

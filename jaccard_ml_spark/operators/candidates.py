@@ -133,18 +133,27 @@ def _band_split_buckets(mega: DataFrame, signatures: DataFrame,
     """Re-bucket mega-bucket members with a finer (longer) band hash.
 
     Uses rows_per_band + band_split_extra_rows signature rows starting at
-    the band's offset (slice clamps at the signature end). Emitted with a
-    shifted band_id namespace so refined buckets never merge with
-    originals. Signatures are joined back by id — mega membership is
-    tiny by construction, so this join touches few rows.
+    the band's offset. The start is clamped so the slice NEVER runs off
+    the signature end: for the last band an end-clamped slice would
+    cover exactly the original band rows again — the refined hash would
+    equal the original mega bucket and the split would be a no-op on
+    1/bands of mega buckets (the pathology splitting exists to prevent).
+    Clamping the start instead pulls the extra rows from the preceding
+    band, so the refined hash always covers rows outside the original
+    band. Emitted with a shifted band_id namespace so refined buckets
+    never merge with originals. Signatures are joined back by id — mega
+    membership is tiny by construction, so this join touches few rows.
     """
     r, extra = cfg.rows_per_band, cfg.band_split_extra_rows
+    start = F.greatest(
+        F.lit(1), F.least(F.col("band_id") * r + 1,
+                          F.lit(cfg.num_perm - (r + extra) + 1)))
     with_sig = mega.select("band_id", "id").join(
         signatures.select("id", "signature"), "id")
     return with_sig.select(
         (F.col("band_id") + F.lit(cfg.bands)).alias("band_id"),
         F.xxhash64(
-            F.slice(F.col("signature"), F.col("band_id") * r + 1, r + extra),
+            F.slice(F.col("signature"), start, r + extra),
             F.col("band_id"),
         ).alias("bucket_hash"),
         "id",
@@ -152,13 +161,22 @@ def _band_split_buckets(mega: DataFrame, signatures: DataFrame,
 
 
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
-                    cache: bool = True) -> DataFrame:
+                    cache: bool = True, auto_tune: bool = False,
+                    tuned: dict | None = None) -> DataFrame:
     """LSH candidate pairs (id_a, id_b), skew-aware, exactly-once.
 
     Returns distinct canonical pairs. The union of three strategies by
     bucket class; `distinct()` collapses pairs found by several bands
     (it is the compute-once tie-break F1 of the reference in shuffle
     form).
+
+    ``auto_tune=True`` derives the skew knobs (c0, salt factor, c1,
+    extra rows) from the OBSERVED bucket-size histogram instead of the
+    static config — the reference's stats→config model
+    (operators/autotune.py). The histogram scan reads the already-
+    persisted fan-out table, so tuning costs one in-memory aggregation;
+    the chosen parameters are appended to ``tuned`` (if given) for the
+    caller's metrics/lineage record.
 
     The bucket table is persisted at the strategy fan-out: the plan
     below it branches 5+ ways (stats join, three pairing strategies,
@@ -186,6 +204,16 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
         # cold cache races under AQE (branches each materialize it)
         grouped = grouped.persist()
         grouped.count()
+
+    if auto_tune:
+        from jaccard_ml_spark.operators.autotune import (
+            bucket_size_histogram,
+            derive_skew_params,
+        )
+        params = derive_skew_params(bucket_size_histogram(grouped), cfg)
+        cfg = params.apply(cfg)
+        if tuned is not None:
+            tuned.update(params.to_dict())
 
     c0, c1 = cfg.salt_threshold_c0, cfg.band_split_c1
 

@@ -46,6 +46,21 @@ def set_sizes(sets_df: DataFrame, id_col: str = "id",
     )
 
 
+def size_window_filter(sets_df: DataFrame, lo: int, hi: int,
+                       id_col: str = "id",
+                       items_col: str = "items") -> DataFrame:
+    """Keep sets whose cardinality lies in [lo, hi] — the reference's
+    degree-window bin predicate (F2/F3: vertices are binned by degree
+    range and each kernel processes one window,
+    /root/reference/src/edge_metrics_binning.cu:45-63). As a pre-pair
+    filter it is also the standard Jaccard size-ratio prune: J(A,B) ≥ t
+    implies |A|/|B| ∈ [t, 1/t], so windowing the corpus before pairing
+    discards pairs no threshold query could return. Pushed to the scan
+    when ``items`` comes straight from parquet."""
+    sz = F.size(F.array_distinct(items_col))
+    return sets_df.where((sz >= F.lit(lo)) & (sz <= F.lit(hi)))
+
+
 def pairwise_metrics(
     sets_df: DataFrame,
     id_col: str = "id",

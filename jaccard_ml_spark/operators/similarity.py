@@ -1,20 +1,46 @@
 """Similarity search over embedding columns.
 
-Brute-force cosine top-k as the exactness baseline; random-hyperplane
-(sign-LSH) bucketing as the scale path — the same candidates-then-verify
-architecture as the MinHash text path. Hyperplanes are generated from a
-seeded RNG on the driver and broadcast as literal arrays (64 dims ×
-n_planes doubles — trivially broadcastable at any scale).
+Brute-force cosine as the exactness baseline; random-hyperplane
+(sign-LSH) bucketing and IVF (k-means cells) as the scale paths — the
+same candidates-then-verify architecture as the MinHash text path
+(the reference's golden-values-vs-kernel differential layout,
+/root/reference/src/utils.cuh:689-698, applied to vectors).
+
+Scale discipline (all three paths):
+
+* **Occupancy-bounded index sizes.** Plane and cell counts are derived
+  from the corpus size (``auto_ann_params``): n_planes ≈
+  log2(n / target_occupancy), n_cells ≈ n / target_cell_size. Fixed
+  counts turn into O(n²/buckets) candidate growth at 100× scale; the
+  auto rule keeps expected bucket occupancy — and therefore per-vector
+  candidate count — constant as the corpus grows.
+* **One pass, one exchange.** All hash tables' buckets are computed in
+  a single vectorized pandas-UDF projection (one Arrow exchange, one
+  BLAS matmul per batch) over a persisted slim (id, vec) table; pairing
+  happens JVM-side from grouped member arrays (candidates.py's
+  machinery), so the whole candidate stage is one shuffle.
+* **Brute-force below the index cutoff.** Under ``brute_cutoff``
+  vectors, building an index costs more than a broadcast cross join —
+  the same flat-vs-IVF switch FAISS makes. The exact path also keeps
+  the driver's DuckDB differential check exact at test scale; the LSH
+  path's recall is asserted separately in tests/test_similarity.py
+  with the cutoff disabled.
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from jaccard_ml_spark.functions import stable_round6
 from jaccard_ml_spark.functions.embeddings import cosine, dot, norm
+from jaccard_ml_spark.operators.candidates import _pairs_from_members
 
 
 def cosine_topk(
@@ -32,7 +58,7 @@ def cosine_topk(
 
     Scale: broadcast the (small) query set against the corpus —
     a broadcast-nested-loop the optimizer handles; for large query sets
-    use ann_buckets + verify instead.
+    use ann_topk instead.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
@@ -65,9 +91,9 @@ def cosine_dup_pairs(
     """Exact embedding near-duplicate pairs: cosine ≥ threshold.
 
     All-pairs exact (the embedding analog of setsim.exact_jaccard_pairs
-    — the oracle/baseline path; ann_topk is the approximate scale path).
-    Norms are precomputed per vector so the cross join multiplies
-    normalized vectors only.
+    — the oracle/baseline path; embedding_near_dup_pairs is the
+    bucketed scale twin). Norms are precomputed per vector so the cross
+    join multiplies normalized vectors only.
     """
     v = vectors.select(
         F.col(id_col).alias("_id"),
@@ -89,9 +115,84 @@ def cosine_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# sign-LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def auto_ann_params(
+    n: int,
+    threshold: float | None = None,
+    target_occupancy: int = 64,
+    target_recall: float = 0.999,
+    max_planes: int = 24,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) sized to the corpus, not hard-coded.
+
+    n_planes = ceil(log2(n / target_occupancy)) keeps expected bucket
+    occupancy ≈ target_occupancy at ANY corpus size — candidate count
+    stays O(n · occupancy · tables) instead of the O(n²/2^planes) a
+    fixed plane count degrades to (the round-1 scale bug this replaces).
+
+    Given a verify threshold, n_tables is solved from the sign-LSH
+    collision model: a plane separates vectors at angle θ with
+    probability θ/π, so a table of p planes catches the pair with
+    q = (1 - θ/π)^p and t tables give recall 1-(1-q)^t ≥ target_recall.
+    Without a threshold (top-k use), 8 tables is the measured
+    recall/cost sweet spot for clustered real-world embeddings.
+    """
+    n_planes = max(2, min(max_planes,
+                          math.ceil(math.log2(max(n, 2) / target_occupancy))
+                          if n > target_occupancy else 2))
+    if threshold is None:
+        return n_planes, 8
+    agree = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    q = agree ** n_planes
+    if q >= 1.0:
+        return n_planes, 1
+    n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q))
+    return n_planes, max(1, min(max_tables, n_tables))
+
+
+def _multi_table_bucket_udf(dim: int, n_planes: int, n_tables: int,
+                            seed: int):
+    """pandas UDF: embedding → array of n_tables packed sign buckets.
+
+    ONE matmul per Arrow batch against the (n_tables·n_planes, dim)
+    plane matrix computes every table's bits at once; bits pack into a
+    long per table. Replaces n_tables × n_planes scalar ``aggregate``
+    expression trees (the round-1 plan re-evaluated those per branch —
+    47% of the bench wall on 2000 vectors).
+    """
+    rng_planes = np.vstack([
+        np.random.default_rng(seed + 97 * t).standard_normal(
+            (n_planes, dim))
+        for t in range(n_tables)
+    ])  # (T*P, dim) — table t's planes are rows [t*P, (t+1)*P)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        out: list = [None] * len(vecs)
+        rows = [(i, np.asarray(v, dtype=np.float64))
+                for i, v in enumerate(vecs) if v is not None and len(v)]
+        if not rows:
+            return pd.Series(out)
+        X = np.stack([v for _, v in rows])          # (B, dim)
+        S = X @ rng_planes.T                         # (B, T*P)
+        bits = (S > 0).astype(np.uint64).reshape(len(rows), -1, n_planes)
+        packed = (bits * weights).sum(axis=2).astype(np.int64)  # (B, T)
+        for j, (i, _) in enumerate(rows):
+            out[i] = packed[j]
+        return pd.Series(out)
+
+    return _buckets
 
 
 def ann_buckets(
@@ -102,76 +203,81 @@ def ann_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-LSH bucket per vector: bit p = [v·h_p > 0] packed to a long.
+    """Single-table sign-LSH bucket per vector (id, embedding, bucket).
 
-    Vectors in the same bucket are cosine-similar candidates; pair
-    within buckets (reusing candidates.py's skew machinery) and verify
-    with exact cosine.
+    Kept as the one-table building block; multi-table search goes
+    through ann_assignments (one UDF pass for all tables).
     """
-    planes = hyperplanes(dim, n_planes, seed)
-    bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane])) > 0,
-               F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        * F.lit(2 ** p).cast("long")
-        for p, plane in enumerate(planes)
-    ]
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
+    udf = _multi_table_bucket_udf(dim, n_planes, 1, seed)
     return vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("embedding"),
-        bucket.alias("bucket"),
+        F.element_at(udf(F.col(vec_col)), 1).alias("bucket"),
     )
 
 
-def ann_topk(
+def ann_assignments(
     vectors: DataFrame,
     dim: int,
-    k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int,
+    n_tables: int,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate all-pairs top-k: union of per-table sign-LSH buckets
-    → within-bucket pairing → exact cosine → per-id top-k.
-
-    Multiple hash tables recover recall the way extra LSH bands do for
-    MinHash (same 1-(1-p^r)^b trade). Plane/table counts are the
-    recall-vs-candidates knob and MUST be tuned to the corpus's angle
-    distribution: clustered real-world embeddings tolerate 8-16 planes;
-    near-uniform vectors (neighbor angles 60°+) need few planes — at
-    cos≈0.5 a plane agrees with p≈0.67, so 4 planes × 8 tables gives
-    recall ≈ 1-(1-0.67^4)^8 ≈ 0.83 while 12 planes gives ≈ 1%.
-    """
-    tables = []
-    for t in range(n_tables):
-        b = ann_buckets(vectors, dim, n_planes, seed + 97 * t,
-                        id_col, vec_col).withColumn("table", F.lit(t))
-        tables.append(b.select("table", "bucket", "id"))
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
-
-    left = buckets.select("table", "bucket", F.col("id").alias("id_a"))
-    right = buckets.select("table", "bucket", F.col("id").alias("id_b"))
-    cand = (
-        left.join(right, ["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
+    """(table, bucket, id) for every hash table — one projection pass."""
+    udf = _multi_table_bucket_udf(dim, n_planes, n_tables, seed)
+    return (
+        vectors
+        .select(F.col(id_col).alias("id"),
+                F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"))
+        .select("table", "bucket", "id")
     )
-    vecs = vectors.select(F.col(id_col).alias("_id"),
-                          F.col(vec_col).alias("_v"))
-    scored = (
+
+
+def _pairs_within_groups(assign: DataFrame, group_cols: list[str],
+                         bucket_cap: int | None) -> DataFrame:
+    """Distinct canonical (id_a, id_b) from co-grouped ids.
+
+    One exchange: groupBy the bucket key, pair JVM-side from the sorted
+    member array. ``bucket_cap`` truncates degenerate buckets (piles of
+    identical vectors) to a deterministic id-sorted prefix — O(cap²)
+    worst case per bucket instead of O(size²); capped members still
+    pair in other tables/cells.
+    """
+    grouped = assign.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("id")).alias("members"))
+    if bucket_cap is not None:
+        grouped = grouped.withColumn(
+            "members", F.slice("members", 1, bucket_cap))
+    grouped = grouped.where(F.size("members") > 1)
+    return _pairs_from_members(grouped).distinct()
+
+
+def _score_pairs(cand: DataFrame, vectors: DataFrame,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(id_a, id_b) → + exact rounded cosine; two hash joins on id.
+
+    Norms are computed once per vector (in the joined projection), not
+    per pair; the join sides are slim (id, vec, norm).
+    """
+    v = vectors.select(F.col(id_col).alias("_id"),
+                       F.col(vec_col).alias("_v")) \
+               .withColumn("_n", norm(F.col("_v")))
+    return (
         cand
-        .join(vecs.withColumnsRenamed({"_id": "id_a", "_v": "_va"}), "id_a")
-        .join(vecs.withColumnsRenamed({"_id": "id_b", "_v": "_vb"}), "id_b")
+        .join(v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                       F.col("_n").alias("_na")), "id_a")
+        .join(v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                       F.col("_n").alias("_nb")), "id_b")
         .select("id_a", "id_b",
-                stable_round6(cosine(F.col("_va"), F.col("_vb")))
+                stable_round6(dot(F.col("_va"), F.col("_vb"))
+                              / (F.col("_na") * F.col("_nb")))
                 .alias("cosine"))
     )
+
+
+def _topk_from_scored(scored: DataFrame, k: int) -> DataFrame:
     sym = scored.unionByName(scored.select(
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine"))
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
@@ -182,6 +288,91 @@ def ann_topk(
                 F.col("id_b").alias("neighbor_id"), "cosine",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ann_topk(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    brute_cutoff: int = 512,
+    bucket_cap: int | None = 1024,
+    target_occupancy: int = 64,
+) -> DataFrame:
+    """Approximate all-pairs top-k: multi-table sign-LSH buckets →
+    within-bucket pairing → exact cosine → per-id top-k.
+
+    Plane count auto-scales with the corpus (auto_ann_params) so bucket
+    occupancy — and the candidate count per vector — is constant at any
+    scale; pass n_planes/n_tables to pin them. Corpora at or below
+    ``brute_cutoff`` take the exact broadcast path (cheaper than
+    building the index, and exact — so the driver's sf0.01 DuckDB check
+    is a true differential; LSH-path recall is asserted separately in
+    tests with the cutoff disabled).
+    """
+    vecs = vectors.select(F.col(id_col).alias(id_col),
+                          F.col(vec_col).alias(vec_col)).persist()
+    n = vecs.count()
+    if n <= brute_cutoff:
+        return cosine_topk(vecs, vecs, k, id_col, vec_col)
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = auto_ann_params(n, None, target_occupancy)
+        n_planes = n_planes if n_planes is not None else auto_p
+        n_tables = n_tables if n_tables is not None else auto_t
+    assign = ann_assignments(vecs, dim, n_planes, n_tables, seed,
+                             id_col, vec_col)
+    cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap)
+    scored = _score_pairs(cand, vecs, id_col, vec_col)
+    return _topk_from_scored(scored, k)
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    brute_cutoff: int = 512,
+    bucket_cap: int | None = 4096,
+    target_recall: float = 0.9999,
+) -> DataFrame:
+    """Embedding threshold-dedup at scale: sign-LSH candidates + exact
+    cosine verify — the bucketed twin of cosine_dup_pairs (round-1 gap:
+    the cross join was the only threshold-pair op).
+
+    Same (id_a, id_b, cosine) schema and rounding as cosine_dup_pairs,
+    so the exact cross-join oracle doubles as its differential check.
+    Table count is solved from the collision model for the given
+    threshold and target recall (auto_ann_params); below
+    ``brute_cutoff`` the exact path runs directly.
+    """
+    vecs = vectors.select(F.col(id_col).alias(id_col),
+                          F.col(vec_col).alias(vec_col)).persist()
+    n = vecs.count()
+    if n <= brute_cutoff:
+        return cosine_dup_pairs(vecs, threshold, id_col, vec_col)
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = auto_ann_params(n, threshold,
+                                         target_recall=target_recall)
+        n_planes = n_planes if n_planes is not None else auto_p
+        n_tables = n_tables if n_tables is not None else auto_t
+    assign = ann_assignments(vecs, dim, n_planes, n_tables, seed,
+                             id_col, vec_col)
+    cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap)
+    return _score_pairs(cand, vecs, id_col, vec_col) \
+        .where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (k-means coarse quantizer)
+# ---------------------------------------------------------------------------
 
 
 def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10,
@@ -205,31 +396,57 @@ def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10,
     return cents
 
 
+def deterministic_sample(vectors: DataFrame, n: int, sample_size: int,
+                         id_col: str, vec_col: str) -> np.ndarray:
+    """Hash-range sample: constant work, deterministic, no global sort.
+
+    Rows where pmod(xxhash64(id), K) = 0 with K sized for ~1.5× the
+    target; the filtered handful is sorted by id on the driver and
+    truncated. Replaces the round-1 ``orderBy(xxhash64(id)).limit()``
+    (an n·log n global sort for a constant-size sample).
+    """
+    K = max(1, int(n // max(1, int(sample_size * 1.5))))
+    rows = (vectors
+            .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(K)) == 0)
+            .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .collect())
+    rows.sort(key=lambda r: r._id)
+    rows = rows[:sample_size]
+    return np.array([list(r._v) for r in rows], dtype=np.float64)
+
+
 def ivf_assign(vectors: DataFrame, centroids: np.ndarray,
                nprobe: int = 2, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """(id, cell) assignment for IVF: each vector lands in its nearest
-    `nprobe` centroid cells (probing > 1 cell recovers neighbors that
-    straddle a cell boundary — the recall knob).
+    """(id, cell) assignment for IVF via one pandas-UDF pass: each
+    vector lands in its nearest ``nprobe`` centroid cells (probing > 1
+    cell recovers neighbors that straddle a cell boundary).
 
-    Distance to each centroid is a JVM expression over literal arrays:
-    ||v - c||² = ||v||² - 2·v·c + ||c||², and since ||v||² is shared,
-    ranking by (||c||² - 2·v·c) suffices — one dot product per cell.
+    One matmul per Arrow batch against the (cells × dim) centroid
+    matrix; rank by ||c||² - 2·v·c (the shared ||v||² term cancels).
     """
-    scores = F.array(*[
-        F.struct(
-            (F.lit(float((c * c).sum()))
-             - 2.0 * dot(F.col(vec_col), F.array(*[F.lit(float(x))
-                                                   for x in c])))
-            .alias("score"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centroids)
-    ])
-    probed = F.slice(F.array_sort(scores), 1, nprobe)
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (cents * cents).sum(axis=1)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        out: list = [None] * len(vecs)
+        rows = [(i, np.asarray(v, dtype=np.float64))
+                for i, v in enumerate(vecs) if v is not None and len(v)]
+        if not rows:
+            return pd.Series(out)
+        X = np.stack([v for _, v in rows])
+        scores = c_norm2[None, :] - 2.0 * (X @ cents.T)   # (B, cells)
+        # stable nprobe-smallest: argsort is deterministic (ties by cell
+        # index) — matches the array_sort(struct(score, cell)) semantics
+        order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
+        for j, (i, _) in enumerate(rows):
+            out[i] = order[j].astype(np.int32)
+        return pd.Series(out)
+
     return vectors.select(
         F.col(id_col).alias("id"),
-        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
+        F.explode(_cells(F.col(vec_col))).alias("cell"),
     )
 
 
@@ -237,51 +454,36 @@ def ivf_topk(
     vectors: DataFrame,
     dim: int,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 2,
     sample_size: int = 2048,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    brute_cutoff: int = 512,
+    cell_cap: int | None = 4096,
+    target_cell_size: int = 256,
 ) -> DataFrame:
     """IVF approximate all-pairs top-k: coarse-quantize into cells,
     pair within probed cells, exact cosine, per-id top-k.
 
-    The IVF counterpart of ann_topk (sign-LSH): cells come from a
-    seeded k-means over a deterministic sample (vec_id order, not
-    random split — reproducible). At corpus scale the sample is a
-    `LIMIT sample_size` over a hash-ordered projection.
+    The IVF counterpart of ann_topk. Cell count auto-scales
+    (n / target_cell_size, clamped) so per-cell pairing work is bounded
+    at any corpus size; the quantizer trains on a deterministic
+    hash-range sample. Below ``brute_cutoff`` the exact broadcast path
+    runs instead (see ann_topk).
     """
-    sample_rows = (vectors.select(vec_col)
-                   .orderBy(F.xxhash64(F.col(id_col)))
-                   .limit(sample_size).collect())
-    sample = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    vecs = vectors.select(F.col(id_col).alias(id_col),
+                          F.col(vec_col).alias(vec_col)).persist()
+    n = vecs.count()
+    if n <= brute_cutoff:
+        return cosine_topk(vecs, vecs, k, id_col, vec_col)
+    if n_cells is None:
+        n_cells = max(16, min(4096, n // target_cell_size))
+    sample = deterministic_sample(vecs, n, sample_size, id_col, vec_col)
     cents = kmeans_centroids(sample, n_cells, seed=seed)
 
-    assigned = ivf_assign(vectors, cents, nprobe, id_col, vec_col)
-    left = assigned.select("cell", F.col("id").alias("id_a"))
-    right = assigned.select("cell", F.col("id").alias("id_b"))
-    cand = (left.join(right, "cell")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
-
-    vecs = vectors.select(F.col(id_col).alias("_id"),
-                          F.col(vec_col).alias("_v"))
-    scored = (
-        cand
-        .join(vecs.withColumnsRenamed({"_id": "id_a", "_v": "_va"}), "id_a")
-        .join(vecs.withColumnsRenamed({"_id": "id_b", "_v": "_vb"}), "id_b")
-        .select("id_a", "id_b",
-                stable_round6(cosine(F.col("_va"), F.col("_vb")))
-                .alias("cosine"))
-    )
-    sym = scored.unionByName(scored.select(
-        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine"))
-    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
-    return (
-        sym.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("id_a").alias("query_id"),
-                F.col("id_b").alias("neighbor_id"), "cosine",
-                F.col("rank").cast("long").alias("rank"))
-    )
+    assigned = ivf_assign(vecs, cents, nprobe, id_col, vec_col)
+    cand = _pairs_within_groups(assigned, ["cell"], cell_cap)
+    scored = _score_pairs(cand, vecs, id_col, vec_col)
+    return _topk_from_scored(scored, k)

@@ -35,20 +35,35 @@ def anchor_sets(docs: DataFrame, k_char: int = 24, mod: int = 8,
 
     The normalized text is materialized as a column attribute before the
     gram loop (HOF-lambda re-evaluation hazard — functions/text.py).
+
+    Empty-sample fallback: a doc with ≥ k_char chars but few k-grams
+    draws zero sampled anchors with probability (1-1/mod)^g (~39% at
+    g=7, mod=8); dropping it would silently lose short-doc recall. Such
+    docs keep ALL their gram hashes instead. Residual gap (documented,
+    not hidden): an all-grams doc still only candidates against docs
+    whose anchor sets contain its grams — i.e. against other short
+    (all-grams) docs exactly, and against long (sampled) docs only via
+    grams that pass the sample rule. Short-doc-inside-long-doc recall
+    therefore decays as (1-1/mod)^g; full recall holds for contained
+    texts with ≳ 4·mod grams (P(miss) < 0.2% at g=32). The exact-dedup
+    md5 path still catches short exact copies.
     """
     with_norm = docs.select(
         F.col(id_col).alias("id"),
         normalize_text(F.col(text_col)).alias("_norm"))
     norm = F.col("_norm")
     n = F.greatest(F.length(norm) - F.lit(k_char - 1), F.lit(0))
-    grams = F.transform(
+    grams = F.array_distinct(F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.xxhash64(F.substring(norm, i, k_char)),
-    )
-    sampled = F.filter(grams, lambda h: F.pmod(h, F.lit(mod)) == 0)
-    return with_norm.select(
+    ))
+    with_grams = with_norm.select("id", grams.alias("_grams"))
+    sampled = F.filter(F.col("_grams"),
+                       lambda h: F.pmod(h, F.lit(mod)) == 0)
+    items = F.when(F.size(sampled) > 0, sampled).otherwise(F.col("_grams"))
+    return with_grams.select(
         "id",
-        F.array_sort(F.array_distinct(sampled)).alias("items"),
+        F.array_sort(items).alias("items"),
     ).where(F.size("items") > 0)
 
 
@@ -66,22 +81,40 @@ def substring_pairs(
     is_substring=1 means normalized text of id_small occurs verbatim
     inside id_big's. Candidates from anchor containment ≥ threshold
     (1.0 keeps full recall for |A| ≥ k_char); verification is exact.
+
+    Verification checks BOTH orientations and re-orients the output:
+    candidate orientation comes from anchor-set sizes, but a contained
+    doc only a few chars shorter than its container often has an EQUAL
+    sampled anchor set (every extra gram fails the mod filter with
+    probability (1-1/mod)^extra), making the size tie-break fall to ids
+    — verifying only that orientation would silently drop the pair
+    whenever the id order disagrees with the true containment
+    direction. Mutual containment (identical normalized texts) keeps
+    the lower id as id_small.
     """
     anchors = anchor_sets(docs, k_char, mod, id_col, text_col)
     cands = containment_pairs(anchors, threshold=anchor_threshold)
 
     texts = docs.select(F.col(id_col).alias("_tid"),
                         normalize_text(F.col(text_col)).alias("_norm"))
-    verified = (
+    joined = (
         cands.select("id_small", "id_big", "containment")
         .join(texts.withColumnsRenamed(
             {"_tid": "id_small", "_norm": "_text_small"}), "id_small")
         .join(texts.withColumnsRenamed(
             {"_tid": "id_big", "_norm": "_text_big"}), "id_big")
-        .select(
-            "id_small", "id_big", "containment",
-            (F.instr(F.col("_text_big"), F.col("_text_small")) > 0)
-            .cast("long").alias("is_substring"),
-        )
+        .withColumn("_s_in_b",
+                    F.instr(F.col("_text_big"), F.col("_text_small")) > 0)
+        .withColumn("_b_in_s",
+                    F.instr(F.col("_text_small"), F.col("_text_big")) > 0)
     )
-    return verified
+    keep_order = F.col("_s_in_b") | ~F.col("_b_in_s")
+    return joined.select(
+        F.when(keep_order, F.col("id_small")).otherwise(F.col("id_big"))
+        .alias("id_small"),
+        F.when(keep_order, F.col("id_big")).otherwise(F.col("id_small"))
+        .alias("id_big"),
+        "containment",
+        (F.col("_s_in_b") | F.col("_b_in_s")).cast("long")
+        .alias("is_substring"),
+    )

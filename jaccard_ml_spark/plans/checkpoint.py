@@ -73,6 +73,47 @@ class CheckpointStore:
         })
         return out
 
+    def write_bucketed(self, stage: str, df: DataFrame,
+                       bucket_cols: list[str], n_buckets: int = 16,
+                       sort_cols: list[str] | None = None) -> DataFrame:
+        """Materialize a stage hash-bucketed (and optionally sorted) by
+        key — the reference's degree-sort data-layout pass
+        (``/root/reference/src/utils.cuh:406-492``) as a Spark layout
+        hook. A downstream equi-join on the bucket key reads this side
+        WITHOUT an exchange (the fat side of the verify join is the
+        shingle-set table; bucketing it by id means the arrays never
+        re-shuffle — only the slim pair side moves). On Iceberg the
+        same layout is ``bucket(N, id)`` partitioning + sort order.
+
+        Uses saveAsTable (bucket metadata lives in the catalog; a plain
+        parquet path cannot record bucketing).
+        """
+        t0 = time.monotonic()
+        table = f"ckpt_{self.run_id}_{stage}".replace("-", "_")
+        writer = (df.write.mode("overwrite").format("parquet")
+                  .option("path", self._dir(stage))
+                  .bucketBy(n_buckets, *bucket_cols))
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        writer.saveAsTable(table)
+        out = self.spark.table(table)
+        n = out.count()
+        elapsed = time.monotonic() - t0
+        tmp = self._marker(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"run_id": self.run_id, "stage": stage,
+                       "rows": n, "seconds": elapsed,
+                       "bucketed_by": bucket_cols,
+                       "n_buckets": n_buckets}, f)
+        os.replace(tmp, self._marker(stage))
+        self._lineage.append({
+            "run_id": self.run_id, "stage": stage, "output_rows": n,
+            "seconds": elapsed,
+            "partition_count": out.rdd.getNumPartitions(),
+        })
+        return out
+
     def stage(self, name: str, build) -> DataFrame:
         """Resume-or-compute: the core protocol.
 

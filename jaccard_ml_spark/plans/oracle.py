@@ -54,3 +54,30 @@ def recall_against_oracle(found_pairs: DataFrame,
         "recall": tp / len(g) if g else 1.0,
         "precision": tp / len(f) if f else 1.0,
     }
+
+
+def value_diff_stats(found_pairs: DataFrame, golden_pairs: DataFrame,
+                     value_col: str = "jaccard") -> dict:
+    """Count / mean / std / max of |found − golden| on the shared pairs
+    — the reference's error report shape (count+mean+std of metric
+    diffs vs the golden vector, /root/reference/src/utils.cuh:627-662;
+    VERDICT r1 gap A7). Spark-side aggregation; only the 4 scalars hit
+    the driver."""
+    import pyspark.sql.functions as F
+
+    f = found_pairs.select("id_a", "id_b",
+                           F.col(value_col).alias("_found"))
+    g = golden_pairs.select("id_a", "id_b",
+                            F.col(value_col).alias("_golden"))
+    row = (
+        f.join(g, ["id_a", "id_b"])
+        .select(F.abs(F.col("_found") - F.col("_golden")).alias("_d"))
+        .agg(F.count("*").alias("n"),
+             F.avg("_d").alias("mean"),
+             F.coalesce(F.stddev_pop("_d"), F.lit(0.0)).alias("std"),
+             F.max("_d").alias("max"))
+        .first()
+    )
+    return {"n": int(row.n), "mean_abs_diff": float(row.mean or 0.0),
+            "std_abs_diff": float(row.std or 0.0),
+            "max_abs_diff": float(row.max or 0.0)}

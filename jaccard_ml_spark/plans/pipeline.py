@@ -21,6 +21,7 @@ from jaccard_ml_spark.config import DedupConfig
 from jaccard_ml_spark.functions.shingle_arrow import (
     add_shingle_hash_sets_arrow,
 )
+from jaccard_ml_spark.functions.text import add_shingle_hash_sets
 from jaccard_ml_spark.operators.assemble import assemble_conversations
 from jaccard_ml_spark.operators.candidates import (
     candidate_pairs,
@@ -43,11 +44,16 @@ class DedupResult:
     clusters: DataFrame        # id, cluster_id
 
 
+def _add_shingles(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    if cfg.shingle_impl == "arrow":
+        return add_shingle_hash_sets_arrow(df, "text", cfg.k_shingle)
+    return add_shingle_hash_sets(df, "text", cfg.k_shingle)
+
+
 def shingle_sets_from_conversations(conversations: DataFrame,
                                     cfg: DedupConfig) -> DataFrame:
     base = conversations.select(F.col("conv_id").alias("id"), "text")
-    return add_shingle_hash_sets_arrow(base, "text", cfg.k_shingle).select(
-        "id", "items")
+    return _add_shingles(base, cfg).select("id", "items")
 
 
 def dedup_pipeline(transcripts: DataFrame, cfg: DedupConfig,
@@ -85,10 +91,10 @@ def dedup_documents(docs: DataFrame, cfg: DedupConfig,
                     id_col: str = "doc_id", text_col: str = "text",
                     cache: bool = True) -> DedupResult:
     """Same pipeline for a flat document table (no assembly stage)."""
-    sets_df = add_shingle_hash_sets_arrow(
+    sets_df = _add_shingles(
         docs.select(F.col(id_col).alias("id"),
                     F.col(text_col).alias("text")),
-        "text", cfg.k_shingle).select("id", "items")
+        cfg).select("id", "items")
     if cache:
         sets_df = sets_df.persist()
     signatures = minhash_signatures(sets_df, cfg)

@@ -190,9 +190,16 @@ def generate_transcripts(
     t_path = os.path.join(out_dir, "transcripts.parquet")
     g_path = os.path.join(out_dir, "truth_groups.parquet")
     # microsecond timestamps: Spark's vectorized parquet reader rejects
-    # the pyarrow-default TIMESTAMP(NANOS) physical type
+    # the pyarrow-default TIMESTAMP(NANOS) physical type.
+    # row_group_size: parquet row groups are Spark's scan-split
+    # granularity — pyarrow's default (1M+ rows/group) caps a 3.7M-turn
+    # file at 4 concurrent scan tasks, serializing every map stage over
+    # the input regardless of executor count. ~128k rows/group keeps
+    # scan parallelism ≥ cores at every test scale (a production
+    # multi-file Iceberg table gets this for free).
     df.to_parquet(t_path, index=False, coerce_timestamps="us",
-                  allow_truncated_timestamps=True)
+                  allow_truncated_timestamps=True,
+                  row_group_size=131072)
     truth.to_parquet(g_path, index=False)
     return {"transcripts": t_path, "truth_groups": g_path,
             "n_convs": len(convs), "n_turns": len(df)}

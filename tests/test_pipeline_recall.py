@@ -15,6 +15,7 @@ from jaccard_ml_spark.plans.oracle import (
     oracle_pairs,
     recall_against_oracle,
     union_find_clusters,
+    value_diff_stats,
 )
 from jaccard_ml_spark.plans.pipeline import dedup_pipeline
 from jaccard_ml_spark.sources.generator import generate_transcripts
@@ -61,12 +62,47 @@ def test_assembly_per_turn_equality(spark, data):
     assert back.count() == transcripts.count()
 
 
+def test_assembly_dedups_duplicate_turn_rows(spark):
+    """At-least-once ingestion / task retries can duplicate (conv_id,
+    turn_idx) rows; assembly must keep the lexicographically-first text
+    per turn_idx and count each turn once (ADVICE r1)."""
+    from jaccard_ml_spark.operators.assemble import assemble_conversations
+
+    rows = [
+        ("c1", 0, "user", "hello", None, None),
+        ("c1", 1, "assistant", "world", None, None),
+        ("c1", 1, "assistant", "world", None, None),      # exact retry dup
+        ("c1", 2, "user", "zz-late-copy", None, None),
+        ("c1", 2, "user", "aa-first-copy", None, None),   # conflicting dup
+        ("c2", 0, "user", "solo", None, None),
+    ]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    got = {r.conv_id: r for r in assemble_conversations(tx).collect()}
+    assert got["c1"].n_turns == 3
+    assert list(got["c1"].turns) == ["hello", "world", "aa-first-copy"]
+    assert got["c1"].text == "hello\nworld\naa-first-copy"
+    assert got["c2"].n_turns == 1
+
+
 def test_recall_and_precision(result, golden):
     stats = recall_against_oracle(result.pairs, golden)
     assert stats["golden"] > 20, "fixture must plant enough true pairs"
     assert stats["recall"] >= 0.99, stats
     # verified pairs use the same exact Jaccard → no false positives
     assert stats["precision"] == 1.0, stats
+
+
+def test_value_diff_stats_vs_golden(result, golden):
+    """A7 error report (count+mean+std of diffs vs the golden vector,
+    ref src/utils.cuh:627-662): the verify stage recomputes exact
+    Jaccard, so every shared pair must diff by exactly 0."""
+    d = value_diff_stats(result.pairs, golden)
+    assert d["n"] > 20
+    assert d["mean_abs_diff"] == 0.0
+    assert d["std_abs_diff"] == 0.0
+    assert d["max_abs_diff"] == 0.0
 
 
 def test_exact_dups_found(result, data):

@@ -52,6 +52,43 @@ def test_resume_equals_fresh(spark, tmp_path):
         assert s2.has(st)
 
 
+def test_bucketed_checkpoint_join_has_no_sets_side_exchange(
+        spark, tmp_path):
+    """Data-layout hook (reference O3, src/utils.cuh:406-492): the
+    shingle-set checkpoint bucketed by id joins the pair table with NO
+    exchange above the bucketed scan — only the slim pair side
+    shuffles; the fat array side reads in place."""
+    from pyspark.sql import functions as F
+
+    from jaccard_ml_spark.plans.checkpoint import CheckpointStore
+
+    meta = generate_transcripts(str(tmp_path / "tx"), n_convs=80, seed=21)
+    tx = read_transcripts(spark, meta["transcripts"])
+    from jaccard_ml_spark.operators.assemble import assemble_conversations
+    from jaccard_ml_spark.plans.pipeline import (
+        shingle_sets_from_conversations,
+    )
+
+    conv = assemble_conversations(tx, CFG.text_separator)
+    sets_df = shingle_sets_from_conversations(conv, CFG)
+
+    store = CheckpointStore(spark, str(tmp_path / "cp"), run_id="bkt")
+    bucketed = store.write_bucketed("s2_shingles", sets_df,
+                                    bucket_cols=["id"], n_buckets=8,
+                                    sort_cols=["id"])
+    pairs = spark.createDataFrame(
+        [(r.id,) for r in bucketed.select("id").limit(20).collect()],
+        "id string")
+    joined = bucketed.join(pairs.repartition(8, "id"), "id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the bucketed side must not re-shuffle: exactly the pair-side
+    # exchange appears (hashpartitioning on the probe side only)
+    assert "ckpt_bkt_s2_shingles" in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan
+    joined.count()
+
+
 def test_resume_ignores_new_input(spark, tmp_path):
     """Completed stages win over changed input — snapshot semantics."""
     meta = generate_transcripts(str(tmp_path / "tx"), n_convs=60, seed=3)

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from jaccard_ml_spark.operators.similarity import (
     ann_topk,
+    auto_ann_params,
     cosine_dup_pairs,
     cosine_topk,
+    embedding_near_dup_pairs,
     ivf_topk,
 )
 
@@ -48,11 +50,34 @@ def _recall_at_1(approx_rows, exact_rows):
     return hits / len(ex1)
 
 
-def test_ann_topk_recall(emb, exact):
+def test_ann_topk_brute_path_is_exact(emb, exact):
+    # n=500 <= brute_cutoff=512 → identical to the exact top-k
     approx = ann_topk(emb, dim=64, k=5).collect()
+    assert sorted(map(tuple, approx)) == \
+        sorted(map(tuple, exact.collect()))
+
+
+def test_ann_topk_lsh_path_recall(emb, exact):
+    # cutoff disabled → the real multi-table sign-LSH path
+    approx = ann_topk(emb, dim=64, k=5, brute_cutoff=0,
+                      n_planes=3, n_tables=8).collect()
     rec = _recall_at_1(approx, exact.collect())
-    # sign-LSH with 4 tables x 12 planes on near-random 64-d vectors
+    # near-uniform random 64-d vectors are sign-LSH's worst case;
+    # planted duplicate groups must still be found
     assert rec >= 0.5, rec
+
+
+def test_auto_ann_params_scale_with_n():
+    p1, _ = auto_ann_params(10_000)
+    p2, _ = auto_ann_params(1_000_000)
+    p3, _ = auto_ann_params(100_000_000)
+    # occupancy-bounded: each 100x corpus adds ~log2(100) ≈ 6-7 planes,
+    # so expected bucket occupancy stays ~constant at any scale
+    assert p1 < p2 < p3
+    assert p3 <= 24
+    # threshold mode: table count solves the collision model
+    p, t = auto_ann_params(100_000, threshold=0.9)
+    assert 1 <= t <= 64
 
 
 def test_ivf_topk_recall_and_determinism(emb, exact):
@@ -62,6 +87,33 @@ def test_ivf_topk_recall_and_determinism(emb, exact):
     assert rec >= 0.5, rec
     rows2 = ivf_topk(emb.repartition(7), dim=64, k=5).collect()
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+
+def test_ivf_topk_lsh_path_recall(emb, exact):
+    rows = ivf_topk(emb, dim=64, k=5, brute_cutoff=0,
+                    n_cells=8, nprobe=2).collect()
+    rec = _recall_at_1(rows, exact.collect())
+    assert rec >= 0.5, rec
+
+
+def test_embedding_near_dup_pairs_matches_exact(emb):
+    """The bucketed scale twin must recover the exact threshold pairs
+    (recall gate vs the cross-join oracle, VERDICT item 3)."""
+    # the synthetic embeddings max out around cosine ~0.5 pairwise;
+    # 0.4 is the threshold the driver query uses too
+    exact_pairs = {(r.id_a, r.id_b): r.cosine
+                   for r in cosine_dup_pairs(emb, threshold=0.4).collect()}
+    lsh_pairs = {(r.id_a, r.id_b): r.cosine
+                 for r in embedding_near_dup_pairs(
+                     emb, threshold=0.4, dim=64,
+                     brute_cutoff=0).collect()}
+    assert exact_pairs, "fixture should contain planted near-dups"
+    # LSH candidates ⊆ all pairs and verify is exact → precision 1.0
+    assert set(lsh_pairs) <= set(exact_pairs)
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.99, recall
+    for key, v in lsh_pairs.items():
+        assert v == pytest.approx(exact_pairs[key], abs=1e-9)
 
 
 def test_cosine_dup_pairs_exactness(emb, spark):
