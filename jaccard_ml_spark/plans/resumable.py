@@ -32,8 +32,16 @@ def run_resumable_dedup(
     cfg: DedupConfig,
     checkpoint_root: str,
     run_id: str = "dedup",
+    auto_tune: bool = False,
 ) -> dict[str, DataFrame]:
-    """Execute (or resume) the pipeline; returns the stage tables."""
+    """Execute (or resume) the pipeline; returns the stage tables.
+
+    ``auto_tune=True`` derives the skew knobs from the observed
+    bucket-size histogram (operators/autotune.py) and records the
+    chosen parameters in the run's metrics table — the reference's
+    parameters/experiment.json lineage record, derived instead of
+    hand-picked.
+    """
     store = CheckpointStore(spark, checkpoint_root, run_id)
 
     conversations = store.stage(
@@ -44,8 +52,13 @@ def run_resumable_dedup(
         lambda: shingle_sets_from_conversations(conversations, cfg))
     signatures = store.stage(
         "s3_signatures", lambda: minhash_signatures(sets_df, cfg))
+    tuned: dict = {}
     cands = store.stage(
-        "s4_candidates", lambda: candidate_pairs(signatures, cfg))
+        "s4_candidates",
+        lambda: candidate_pairs(signatures, cfg, auto_tune=auto_tune,
+                                tuned=tuned))
+    for k, v in tuned.items():
+        store.metric(f"autotune.{k}", float(v))
     pairs = store.stage(
         "s5_pairs",
         lambda: verify_pairs(cands, sets_df, cfg.jaccard_threshold))

@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--master", default=None,
                     help="override master (None = from spark-submit)")
     ap.add_argument("--run-id", default="dedup")
+    ap.add_argument("--auto-tune", action="store_true",
+                    help="derive skew knobs (salt threshold/factor, "
+                         "band-split) from observed bucket stats; "
+                         "chosen values land in the metrics table")
     args = ap.parse_args()
 
     from jaccard_ml_spark.config import DedupConfig
@@ -58,7 +62,8 @@ def main() -> None:
     tx = read_transcripts(spark, args.input, args.format)
 
     t0 = time.monotonic()
-    tables = run_resumable_dedup(spark, tx, cfg, args.output, args.run_id)
+    tables = run_resumable_dedup(spark, tx, cfg, args.output, args.run_id,
+                                 auto_tune=args.auto_tune)
     n_pairs = tables["pairs"].count()
     n_clusters = tables["clusters"].select("cluster_id").distinct().count()
     n_turns = tx.count()

@@ -94,6 +94,19 @@ def test_recall_and_precision(result, golden):
     assert stats["precision"] == 1.0, stats
 
 
+def test_distributed_cc_equals_driver_cc(result):
+    """The hybrid CC shortcut (driver union-find below the edge bound)
+    must agree exactly with the distributed small/large-star loop."""
+    from jaccard_ml_spark.operators.cluster import connected_components
+
+    driver = sorted(map(tuple, connected_components(
+        result.pairs).collect()))
+    distributed = sorted(map(tuple, connected_components(
+        result.pairs, driver_cc_max_edges=0).collect()))
+    assert driver == distributed
+    assert driver, "fixture should produce non-empty components"
+
+
 def test_value_diff_stats_vs_golden(result, golden):
     """A7 error report (count+mean+std of diffs vs the golden vector,
     ref src/utils.cuh:627-662): the verify stage recomputes exact
