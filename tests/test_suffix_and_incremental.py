@@ -41,6 +41,30 @@ def test_substring_pairs_finds_planted_prefix(spark, tmp_path):
         assert na in nb
 
 
+def test_anchor_sets_never_drops_docs_with_grams(spark):
+    """Empty-sample fallback (ADVICE r1): every doc with >= k_char
+    normalized chars must keep a non-empty anchor set — short docs
+    previously vanished with probability (1-1/mod)^grams."""
+    from jaccard_ml_spark.operators.suffix import anchor_sets
+
+    # 40 short docs of ~k_char+6 chars: ~2/5 would draw zero sampled
+    # anchors at mod=8 without the fallback
+    rows = [(i, f"short document num {i:02d} xx") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = anchor_sets(docs, k_char=24, mod=8)
+    assert kept.count() == 40
+    assert kept.where(F.size("items") == 0).count() == 0
+    # exact copies among short docs always pair (identical anchor sets
+    # whichever branch they took)
+    pair = spark.createDataFrame(
+        [(100, "tiny contained payload text abc"),
+         (101, "tiny contained payload text abc")],
+        "doc_id long, text string")
+    found = substring_pairs(pair).where(F.col("is_substring") == 1)
+    got = {(r.id_small, r.id_big) for r in found.collect()}
+    assert (100, 101) in got, got
+
+
 def test_incremental_equals_batch(spark, tmp_path):
     """Splitting the corpus into two delta batches must give the same
     pairs and clusters as one batch run."""
