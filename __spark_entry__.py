@@ -242,6 +242,7 @@ def q_minhash_band_stats(spark, sf_dir):
         stats.groupBy("band_id")
         .agg(
             F.count("*").cast("long").alias("n_buckets"),
+            F.sum("bucket_size").cast("long").alias("n_rows"),
             F.max("bucket_size").cast("long").alias("max_bucket"),
             _r6(F.avg("bucket_size")).alias("avg_bucket"),
         )
@@ -379,12 +380,22 @@ def q_substring_pairs(spark, sf_dir):
     Output: verified (id_small ⊂ id_big) pairs only — the anchor
     containment score is xxhash-sample-dependent (not SQL-mirrorable),
     but the verified pair SET is, so the DuckDB position() cross join
-    is the differential oracle. mod=4 at test scale bounds the
-    empty-sample miss probability below 2e-4 per contained doc
-    (operators/suffix.anchor_sets fallback note)."""
+    is the differential oracle. The check restricts the CONTAINED side
+    to normalized length ≥ 39 (g ≥ 16 k-grams) on BOTH sides: below
+    that, anchor sampling can legitimately miss a short doc contained
+    in a long sampled one (operators/suffix.anchor_sets, short-doc
+    floor note), so the differential would compare an engine guarantee
+    the engine does not make. At mod=2 the residual per-doc miss
+    probability above the floor is (1/2)^16 ≈ 1.5e-5."""
+    from jaccard_ml_spark.functions.text import normalize_text
     from jaccard_ml_spark.operators.suffix import substring_pairs
-    out = substring_pairs(_docs(spark, sf_dir), mod=4)
+    out = substring_pairs(_docs(spark, sf_dir), mod=2)
+    small_len = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id_small"),
+        F.length(normalize_text(F.col("text"))).alias("_len_small"))
     return (out.where(F.col("is_substring") == 1)
+            .join(small_len, "id_small")
+            .where(F.col("_len_small") >= 39)
             .select("id_small", "id_big"))
 
 
@@ -687,8 +698,10 @@ FROM r WHERE rn <= 5
     # brute-force position() cross join mirrors it exactly. Orientation:
     # contained side first; identical texts keep the lower id first —
     # matching operators/suffix.substring_pairs' re-orientation rule.
-    # length(ta) >= 24 mirrors the operator's k_char floor (shorter
-    # docs have no anchors and fall to the md5 exact-dedup path).
+    # len_small >= 39 mirrors the Spark query's contained-side floor
+    # (39 chars = k_char-1 + 16 grams): below it anchor sampling has no
+    # recall guarantee for short-inside-long pairs, so both sides of
+    # the differential exclude that regime (see q_substring_pairs).
     sql["substring_pairs"] = """
 WITH n AS (
   SELECT doc_id,
@@ -707,7 +720,7 @@ o AS (
   FROM p
   WHERE position(ta IN tb) > 0 OR position(tb IN ta) > 0
 )
-SELECT id_small, id_big FROM o WHERE len_small >= 24
+SELECT id_small, id_big FROM o WHERE len_small >= 39
 """
 
     sql["simhash32"] = f"""

@@ -76,11 +76,16 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     qs = E.queries()
     times: dict[str, float] = {}
+    from jaccard_ml_spark.operators.similarity import release_persisted
+
     for name in HEADLINE:
         t0 = time.monotonic()
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
+        # drop the similarity ops' cached vector tables between queries
+        # so a bench loop can't accumulate executor storage (ADVICE r2)
+        release_persisted()
 
     tx_sec, n_turns = _bench_transcripts(spark, sf)
     times["transcripts_dedup"] = round(tx_sec, 3)

@@ -98,20 +98,39 @@ def simhash_udf(bits: int = 64, seed: int = 42):
     rng = np.random.default_rng(seed + 1)
     mix = np.uint64(rng.integers(1, 2**63, dtype=np.uint64) * 2 + 1)
     add = np.uint64(rng.integers(0, 2**63, dtype=np.uint64))
-    bit_idx = np.arange(bits, dtype=np.uint64)
 
     @pandas_udf(T.LongType())
     def _simhash(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, arr in enumerate(hashes):
-            if arr is None or len(arr) == 0:
-                continue
-            x = np.asarray(arr, dtype=np.int64).view(np.uint64) * mix + add
-            bitmat = (x[:, None] >> bit_idx[None, :]) & np.uint64(1)
-            votes = 2 * bitmat.astype(np.int64) - 1
-            fp = (votes.sum(axis=0) > 0).astype(np.uint64)
-            out[i] = (fp << bit_idx).sum().view(np.int64) if bits == 64 \
-                else int((fp << bit_idx).sum())
+        # same flatten + reduceat scheme as the MinHash kernel: one
+        # fused 1-D pass per BIT over the concatenated batch (bounded
+        # 64 iterations), instead of a fresh (len × bits) bit matrix
+        # per row — the per-row numpy dispatch overhead of the old loop
+        # dominated at scale (the only kernel left unflattened in r2).
+        n_rows = len(hashes)
+        arrays, idx, lens = [], [], []
+        for i in range(n_rows):
+            arr = hashes.iloc[i]
+            if arr is not None and len(arr) > 0:
+                arrays.append(np.asarray(arr, dtype=np.int64))
+                idx.append(i)
+                lens.append(len(arr))
+        out = np.zeros(n_rows, dtype=np.int64)
+        if not arrays:
+            return pd.Series(out)
+        x = np.concatenate(arrays).view(np.uint64) * mix + add
+        offsets = np.zeros(len(arrays), dtype=np.intp)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        half = np.asarray(lens, dtype=np.int64)  # ones > len/2 ⟺ votes>0
+        fp = np.zeros(len(arrays), dtype=np.uint64)
+        bit = np.empty_like(x)
+        ones = np.empty(len(arrays), dtype=np.uint64)
+        for b in range(bits):
+            np.right_shift(x, np.uint64(b), out=bit)
+            np.bitwise_and(bit, np.uint64(1), out=bit)
+            np.add.reduceat(bit, offsets, out=ones)
+            fp |= ((2 * ones.astype(np.int64) - half) > 0).astype(
+                np.uint64) << np.uint64(b)
+        out[idx] = fp.view(np.int64)
         return pd.Series(out)
 
     return _simhash

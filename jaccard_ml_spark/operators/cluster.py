@@ -64,7 +64,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     star_rounds_per_check: int = 2,
-    driver_cc_max_edges: int = 2_000_000,
+    driver_cc_max_edges: int = 5_000_000,
+    driver_cc_max_bytes: int = 1 << 30,
 ) -> DataFrame:
     """(id_a, id_b) edges → (id, cluster_id) for every id in the edges.
 
@@ -73,9 +74,11 @@ def connected_components(
 
     Hybrid execution (the standard small-graph shortcut, cf.
     GraphFrames' aggregate-message CC falling back to local runs):
-    below ``driver_cc_max_edges`` the edge list is collected and solved
-    with a driver-side union-find — identical output, O(edges·α), no
-    iterative shuffle rounds. The near-dup edge set is the DUPLICATE
+    below ``driver_cc_max_edges`` (and ``driver_cc_max_bytes``, byte-
+    estimated from the measured id width) the edge list is downloaded
+    as Arrow batches and solved with vectorized numpy min-label
+    propagation — identical output, no iterative shuffle rounds, no
+    per-edge Python. The near-dup edge set is the DUPLICATE
     graph (orders of magnitude smaller than the corpus), so even
     trillion-turn runs often fit; above the bound the distributed
     small-star/large-star loop runs. Set 0 to force distributed.
@@ -98,34 +101,59 @@ def connected_components(
         .localCheckpoint()
     )
 
-    n_edges = edges.count()
-    if n_edges <= driver_cc_max_edges:
-        rows = edges.collect()
-        parent: dict = {}
+    # one job for both hybrid criteria: edge count AND an estimate of
+    # the driver-side footprint (an edge cap alone is not byte-safe for
+    # long ids). The numpy path below holds ids in pandas object
+    # arrays: ~60-70 B of CPython str overhead per id occurrence plus
+    # the label arrays — ~120 B + id bytes per edge end.
+    stats = edges.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.avg(F.length(F.col("src").cast("string"))
+                         + F.length(F.col("dst").cast("string"))),
+                   F.lit(0.0)).alias("avg_len"),
+    ).first()
+    n_edges = stats.n
+    est_driver_bytes = int(n_edges * (stats.avg_len + 120) * 2)
+    spark = pairs.sparkSession
+    from pyspark.sql import types as T
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType([T.StructField("id", id_type),
+                           T.StructField("cluster_id", id_type)])
+    if n_edges <= driver_cc_max_edges and \
+            est_driver_bytes <= driver_cc_max_bytes:
+        # Arrow download (toPandas) + vectorized min-label propagation
+        # with pointer jumping + Arrow upload. The previous
+        # Row-collect + per-edge Python union-find was ~20s of pure
+        # serial driver time at 10⁶ edges — a fixed cost that dominates
+        # the scaling-efficiency denominator at every cluster size.
+        # np.unique's SORTED uniques make numeric-min == lexicographic-
+        # min id, preserving the cluster_id = min-member convention.
+        import numpy as np
+        import pandas as pd
 
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        ids = set()
-        for r in rows:
-            ids.add(r.src)
-            ids.add(r.dst)
-            ra, rb = find(r.src), find(r.dst)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        assign = [(i, find(i)) for i in sorted(ids)]
-        spark = pairs.sparkSession
-        from pyspark.sql import types as T
-        id_type = edges.schema["src"].dataType
-        schema = T.StructType([T.StructField("id", id_type),
-                               T.StructField("cluster_id", id_type)])
-        return spark.createDataFrame(assign, schema)
+        pdf = edges.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame([], schema)
+        both = np.concatenate([pdf["src"].to_numpy(),
+                               pdf["dst"].to_numpy()])
+        uniques, codes = np.unique(both, return_inverse=True)
+        m = len(pdf)
+        a, b = codes[:m], codes[m:]
+        lab = np.arange(len(uniques), dtype=np.int64)
+        while True:
+            prev = lab
+            lab = lab.copy()
+            # propagate the smaller label across every edge, both
+            # directions, then compress chains (pointer jumping) —
+            # labels are monotone non-increasing node indices, so the
+            # fixpoint (all edges label-equal) is the component minimum
+            np.minimum.at(lab, a, lab[b])
+            np.minimum.at(lab, b, lab[a])
+            lab = lab[lab]
+            if (lab == prev).all():
+                break
+        out = pd.DataFrame({"id": uniques, "cluster_id": uniques[lab]})
+        return spark.createDataFrame(out, schema)
 
     def _signature(e) -> tuple:
         """One job: (count, sum of canonical-edge hashes). Stability of

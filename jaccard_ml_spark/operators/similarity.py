@@ -42,6 +42,26 @@ from jaccard_ml_spark.functions import stable_round6
 from jaccard_ml_spark.functions.embeddings import cosine, dot, norm
 from jaccard_ml_spark.operators.candidates import _pairs_from_members
 
+# slim (id, vec) tables persisted by ann_topk / ivf_topk /
+# embedding_near_dup_pairs. A bench loop or long-lived incremental
+# session that never releases them accumulates executor storage until
+# eviction thrash; call release_persisted() after materializing each
+# query's result (bench.py and __spark_entry__ do).
+_PERSISTED: list = []
+
+
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist every vector table cached by the similarity operators.
+
+    Safe to call after the returned DataFrames are materialized (a
+    later re-materialization would just recompute). Returns the number
+    of tables released.
+    """
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking)
+    return n
+
 
 def cosine_topk(
     queries: DataFrame,
@@ -146,6 +166,15 @@ def auto_ann_params(
     q = (1 - θ/π)^p and t tables give recall 1-(1-q)^t ≥ target_recall.
     Without a threshold (top-k use), 8 tables is the measured
     recall/cost sweet spot for clustered real-world embeddings.
+
+    When the solved table count exceeds ``max_tables`` (large n + a low
+    threshold: e.g. n=100M, threshold=0.9 needs ~238 tables at the
+    occupancy-ruled plane count), silently clamping tables would ship
+    recall well below ``target_recall``. Instead planes are reduced —
+    each dropped plane raises per-table collision probability q, at the
+    cost of ~2× bucket occupancy per plane — until the target recall is
+    achievable within the cap; the shortfall path is thereby
+    unreachable (p=2 planes make q large enough for any threshold>0).
     """
     n_planes = max(2, min(max_planes,
                           math.ceil(math.log2(max(n, 2) / target_occupancy))
@@ -153,11 +182,19 @@ def auto_ann_params(
     if threshold is None:
         return n_planes, 8
     agree = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    q = agree ** n_planes
-    if q >= 1.0:
-        return n_planes, 1
-    n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q))
-    return n_planes, max(1, min(max_tables, n_tables))
+
+    def tables_for(p: int) -> int:
+        q = agree ** p
+        if q >= 1.0:
+            return 1
+        if q <= 0.0:                       # degenerate threshold ≤ −1
+            return max_tables
+        return max(1, math.ceil(math.log(1.0 - target_recall)
+                                / math.log(1.0 - q)))
+
+    while n_planes > 2 and tables_for(n_planes) > max_tables:
+        n_planes -= 1
+    return n_planes, min(max_tables, tables_for(n_planes))
 
 
 def _multi_table_bucket_udf(dim: int, n_planes: int, n_tables: int,
@@ -236,22 +273,62 @@ def ann_assignments(
 
 
 def _pairs_within_groups(assign: DataFrame, group_cols: list[str],
-                         bucket_cap: int | None) -> DataFrame:
+                         bucket_cap: int | None,
+                         metrics: dict | None = None,
+                         metrics_prefix: str = "ann",
+                         rep_count: int = 8) -> DataFrame:
     """Distinct canonical (id_a, id_b) from co-grouped ids.
 
     One exchange: groupBy the bucket key, pair JVM-side from the sorted
-    member array. ``bucket_cap`` truncates degenerate buckets (piles of
-    identical vectors) to a deterministic id-sorted prefix — O(cap²)
-    worst case per bucket instead of O(size²); capped members still
-    pair in other tables/cells.
+    member array. ``bucket_cap`` bounds degenerate buckets (piles of
+    identical vectors): the id-sorted prefix pairs all-vs-all (O(cap²)
+    per bucket instead of O(size²)), and every beyond-cap member is
+    paired against the first ``rep_count`` representatives instead of
+    being dropped. A >cap pile of identical vectors lands in the SAME
+    bucket in every table/cell, so a pure truncation would lose those
+    members' pairs in ALL tables — the rep edges guarantee each member
+    keeps ≥1 exact-scored edge (a star over the pile), so threshold
+    dedup still detects every member and CC still clusters the pile.
+
+    ``metrics`` (optional) gets ``{prefix}.capped_members`` /
+    ``{prefix}.capped_buckets`` counts — silent truncation would make
+    "covered everything" and "star-linked 10⁶ members" look identical.
+    Costs one small aggregate job over the grouped table.
     """
     grouped = assign.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("id")).alias("members"))
-    if bucket_cap is not None:
-        grouped = grouped.withColumn(
-            "members", F.slice("members", 1, bucket_cap))
+    if bucket_cap is None:
+        grouped = grouped.where(F.size("members") > 1)
+        return _pairs_from_members(grouped).distinct()
+
+    if metrics is not None:
+        over = F.greatest(F.size("members") - bucket_cap, F.lit(0))
+        row = grouped.select(
+            F.sum(over).alias("m"),
+            F.sum((over > 0).cast("long")).alias("b")).first()
+        metrics[f"{metrics_prefix}.capped_members"] = int(row.m or 0)
+        metrics[f"{metrics_prefix}.capped_buckets"] = int(row.b or 0)
+
+    # the capped and extras branches share the groupBy subtree —
+    # Catalyst's ReusedExchange covers the shuffle, so no persist (and
+    # no cache-leak) is needed here
     grouped = grouped.where(F.size("members") > 1)
-    return _pairs_from_members(grouped).distinct()
+    capped = grouped.select(
+        F.slice("members", 1, bucket_cap).alias("members"))
+    pairs = _pairs_from_members(capped)
+
+    extras = grouped.where(F.size("members") > bucket_cap).select(
+        F.slice("members", 1, rep_count).alias("_reps"),
+        F.explode(F.slice(
+            "members", bucket_cap + 1,
+            F.greatest(F.size("members") - bucket_cap, F.lit(0)),
+        )).alias("id_x"),
+    ).select(F.explode("_reps").alias("id_r"), "id_x").select(
+        F.least("id_r", "id_x").alias("id_a"),
+        F.greatest("id_r", "id_x").alias("id_b"),
+    ).where(F.col("id_a") != F.col("id_b"))
+
+    return pairs.unionByName(extras).distinct()
 
 
 def _score_pairs(cand: DataFrame, vectors: DataFrame,
@@ -302,6 +379,7 @@ def ann_topk(
     brute_cutoff: int = 512,
     bucket_cap: int | None = 1024,
     target_occupancy: int = 64,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: multi-table sign-LSH buckets →
     within-bucket pairing → exact cosine → per-id top-k.
@@ -316,6 +394,7 @@ def ann_topk(
     """
     vecs = vectors.select(F.col(id_col).alias(id_col),
                           F.col(vec_col).alias(vec_col)).persist()
+    _PERSISTED.append(vecs)
     n = vecs.count()
     if n <= brute_cutoff:
         return cosine_topk(vecs, vecs, k, id_col, vec_col)
@@ -325,7 +404,8 @@ def ann_topk(
         n_tables = n_tables if n_tables is not None else auto_t
     assign = ann_assignments(vecs, dim, n_planes, n_tables, seed,
                              id_col, vec_col)
-    cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap)
+    cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap,
+                                metrics, "ann")
     scored = _score_pairs(cand, vecs, id_col, vec_col)
     return _topk_from_scored(scored, k)
 
@@ -342,6 +422,7 @@ def embedding_near_dup_pairs(
     brute_cutoff: int = 512,
     bucket_cap: int | None = 4096,
     target_recall: float = 0.9999,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Embedding threshold-dedup at scale: sign-LSH candidates + exact
     cosine verify — the bucketed twin of cosine_dup_pairs (round-1 gap:
@@ -352,9 +433,21 @@ def embedding_near_dup_pairs(
     Table count is solved from the collision model for the given
     threshold and target recall (auto_ann_params); below
     ``brute_cutoff`` the exact path runs directly.
+
+    Cost cliff (document, don't hide): the solved table count grows
+    steeply as the threshold drops — at target_recall=0.9999 a
+    production threshold ≥ 0.85 needs ~4-8 tables, but threshold 0.4
+    solves to the 64-table cap (the driver's synthetic embeddings only
+    reach ~0.5 pairwise cosine, hence the bench query's cost). Every
+    table is one more row per vector through the single bucket
+    exchange, so candidate volume — and the stage's shuffle — scales
+    linearly with it. For exploratory low thresholds prefer a lower
+    ``target_recall`` or pin ``n_tables`` and accept the modeled
+    recall.
     """
     vecs = vectors.select(F.col(id_col).alias(id_col),
                           F.col(vec_col).alias(vec_col)).persist()
+    _PERSISTED.append(vecs)
     n = vecs.count()
     if n <= brute_cutoff:
         return cosine_dup_pairs(vecs, threshold, id_col, vec_col)
@@ -365,7 +458,8 @@ def embedding_near_dup_pairs(
         n_tables = n_tables if n_tables is not None else auto_t
     assign = ann_assignments(vecs, dim, n_planes, n_tables, seed,
                              id_col, vec_col)
-    cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap)
+    cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap,
+                                metrics, "embdup")
     return _score_pairs(cand, vecs, id_col, vec_col) \
         .where(F.col("cosine") >= threshold)
 
@@ -385,9 +479,16 @@ def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10,
     """
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
-    cents = sample[np.sort(idx)].astype(np.float64)
+    sample = np.ascontiguousarray(sample, dtype=np.float64)
+    cents = sample[np.sort(idx)].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # ranking form ‖c‖² − 2·X·cᵀ (the shared ‖x‖² cancels in argmin)
+        # — same as ivf_assign. The broadcast form
+        # ((X[:,None,:]−C[None,:,:])**2).sum(2) materializes a
+        # (sample × cells × dim) temporary: 4.3 GB/iteration at the
+        # documented limits (2048 × 4096 × 64) — a driver OOM exactly
+        # when IVF matters. This form peaks at O(sample · cells).
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (sample @ cents.T)
         assign = d.argmin(axis=1)
         for c in range(len(cents)):
             members = sample[assign == c]
@@ -463,6 +564,7 @@ def ivf_topk(
     brute_cutoff: int = 512,
     cell_cap: int | None = 4096,
     target_cell_size: int = 256,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """IVF approximate all-pairs top-k: coarse-quantize into cells,
     pair within probed cells, exact cosine, per-id top-k.
@@ -475,6 +577,7 @@ def ivf_topk(
     """
     vecs = vectors.select(F.col(id_col).alias(id_col),
                           F.col(vec_col).alias(vec_col)).persist()
+    _PERSISTED.append(vecs)
     n = vecs.count()
     if n <= brute_cutoff:
         return cosine_topk(vecs, vecs, k, id_col, vec_col)
@@ -484,6 +587,7 @@ def ivf_topk(
     cents = kmeans_centroids(sample, n_cells, seed=seed)
 
     assigned = ivf_assign(vecs, cents, nprobe, id_col, vec_col)
-    cand = _pairs_within_groups(assigned, ["cell"], cell_cap)
+    cand = _pairs_within_groups(assigned, ["cell"], cell_cap,
+                                metrics, "ivf")
     scored = _score_pairs(cand, vecs, id_col, vec_col)
     return _topk_from_scored(scored, k)

@@ -36,17 +36,21 @@ def anchor_sets(docs: DataFrame, k_char: int = 24, mod: int = 8,
     The normalized text is materialized as a column attribute before the
     gram loop (HOF-lambda re-evaluation hazard — functions/text.py).
 
-    Empty-sample fallback: a doc with ≥ k_char chars but few k-grams
-    draws zero sampled anchors with probability (1-1/mod)^g (~39% at
-    g=7, mod=8); dropping it would silently lose short-doc recall. Such
-    docs keep ALL their gram hashes instead. Residual gap (documented,
-    not hidden): an all-grams doc still only candidates against docs
-    whose anchor sets contain its grams — i.e. against other short
-    (all-grams) docs exactly, and against long (sampled) docs only via
-    grams that pass the sample rule. Short-doc-inside-long-doc recall
-    therefore decays as (1-1/mod)^g; full recall holds for contained
-    texts with ≳ 4·mod grams (P(miss) < 0.2% at g=32). The exact-dedup
-    md5 path still catches short exact copies.
+    Short-doc floor: a doc with fewer than ``4·mod`` k-grams keeps ALL
+    its gram hashes (no sampling) — below that count the sampled set is
+    empty with non-negligible probability ((1-1/mod)^g ≈ 75% for a
+    24-50-char doc at mod=4), and a truncated sample gives no usable
+    bound. Docs at or above the floor that still draw zero sampled
+    anchors (P = (1-1/mod)^g ≤ (1-1/mod)^{4·mod} ≈ 1.3-1.7%) also keep
+    all grams. Residual gap (documented, not hidden): an all-grams doc
+    only candidates against docs whose anchor sets contain its grams —
+    other all-grams (short) docs exactly, and SAMPLED (long) docs only
+    via grams passing the sample rule. Short-contained-in-long recall
+    therefore holds with probability 1-(1-1/mod)^g, approaching 1 only
+    for g ≳ 4·mod; callers needing a differential guarantee must floor
+    the contained side's length accordingly (the driver oracle in
+    __spark_entry__ does). The exact-dedup md5 path still catches short
+    exact copies.
     """
     with_norm = docs.select(
         F.col(id_col).alias("id"),
@@ -60,7 +64,10 @@ def anchor_sets(docs: DataFrame, k_char: int = 24, mod: int = 8,
     with_grams = with_norm.select("id", grams.alias("_grams"))
     sampled = F.filter(F.col("_grams"),
                        lambda h: F.pmod(h, F.lit(mod)) == 0)
-    items = F.when(F.size(sampled) > 0, sampled).otherwise(F.col("_grams"))
+    items = F.when(
+        (F.size("_grams") >= F.lit(4 * mod)) & (F.size(sampled) > 0),
+        sampled,
+    ).otherwise(F.col("_grams"))
     return with_grams.select(
         "id",
         F.array_sort(items).alias("items"),

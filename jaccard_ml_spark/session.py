@@ -86,13 +86,27 @@ def get_spark(
         # local disks per executor — tmpfs is the sandbox equivalent.
         # On a real cluster the cluster manager provides local dirs
         # and this key is never set.
-        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR",
-                                   "/dev/shm/spark-local")
-        try:
-            os.makedirs(local_dir, exist_ok=True)
-            conf["spark.local.dir"] = local_dir
-        except OSError:
-            pass
+        # Guard: tmpfs is RAM-backed — if /dev/shm is small relative to
+        # plausible shuffle volume (small machines, containers with a
+        # tiny shm mount), silently defaulting to it trades a slow
+        # shuffle for ENOSPC/OOM. Fall back to Spark's default disk
+        # dirs unless there is comfortable headroom (or the user chose
+        # a dir explicitly via SPARK_GRAFT_LOCAL_DIR).
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if local_dir is None:
+            import shutil
+            try:
+                free = shutil.disk_usage("/dev/shm").free
+            except OSError:
+                free = 0
+            if free >= 16 * 1024**3:
+                local_dir = "/dev/shm/spark-local"
+        if local_dir:
+            try:
+                os.makedirs(local_dir, exist_ok=True)
+                conf["spark.local.dir"] = local_dir
+            except OSError:
+                pass
     for k, v in _MALLOC_ENV.items():
         conf[f"spark.executorEnv.{k}"] = v
     if extra_conf:

@@ -83,21 +83,21 @@ def _perturb(rng, vocab, turns, n_edit_turns, edits_per_turn):
     return [tuple(t) for t in out]
 
 
-def generate_transcripts(
-    out_dir: str,
-    n_convs: int = 2000,
-    seed: int = 42,
-    frac_exact: float = 0.15,
-    frac_near: float = 0.15,
-    frac_contain: float = 0.05,
-    frac_hot: float = 0.05,
-    min_turns: int = 2,
-    max_turns: int = 14,
-) -> dict:
-    """Write transcripts.parquet + truth_groups.parquet under ``out_dir``.
+def _generate_frames(
+    n_convs: int,
+    seed: int,
+    frac_exact: float,
+    frac_near: float,
+    frac_contain: float,
+    frac_hot: float,
+    min_turns: int,
+    max_turns: int,
+    id_offset: int = 0,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Core generation: (transcripts_df, truth_df) pandas frames.
 
-    Returns {"transcripts": path, "truth_groups": path, "n_convs": int,
-    "n_turns": int}. Deterministic for a given (seed, n_convs, fracs).
+    ``id_offset`` starts the conv-id counter so independent shards
+    (generate_transcripts_sharded) never collide.
     """
     rng = np.random.default_rng(seed)
     vocab = _vocab(rng)
@@ -109,7 +109,7 @@ def generate_transcripts(
     n_unique = n_convs - n_exact - n_near - n_contain - n_hot
 
     convs: list[tuple[str, list, str, str]] = []  # (conv_id, turns, group, kind)
-    next_id = 0
+    next_id = id_offset
 
     def cid():
         nonlocal next_id
@@ -185,6 +185,28 @@ def generate_transcripts(
         [(c, g, k) for c, _, g, k in convs],
         columns=["conv_id", "group_id", "kind"],
     )
+    return df, truth
+
+
+def generate_transcripts(
+    out_dir: str,
+    n_convs: int = 2000,
+    seed: int = 42,
+    frac_exact: float = 0.15,
+    frac_near: float = 0.15,
+    frac_contain: float = 0.05,
+    frac_hot: float = 0.05,
+    min_turns: int = 2,
+    max_turns: int = 14,
+) -> dict:
+    """Write transcripts.parquet + truth_groups.parquet under ``out_dir``.
+
+    Returns {"transcripts": path, "truth_groups": path, "n_convs": int,
+    "n_turns": int}. Deterministic for a given (seed, n_convs, fracs).
+    """
+    df, truth = _generate_frames(n_convs, seed, frac_exact, frac_near,
+                                 frac_contain, frac_hot, min_turns,
+                                 max_turns)
 
     os.makedirs(out_dir, exist_ok=True)
     t_path = os.path.join(out_dir, "transcripts.parquet")
@@ -202,4 +224,72 @@ def generate_transcripts(
                   row_group_size=131072)
     truth.to_parquet(g_path, index=False)
     return {"transcripts": t_path, "truth_groups": g_path,
-            "n_convs": len(convs), "n_turns": len(df)}
+            "n_convs": len(truth), "n_turns": len(df)}
+
+
+def _write_shard(args: tuple) -> tuple[int, int]:
+    """Worker for generate_transcripts_sharded (module-level: picklable)."""
+    (shard, out_dir, per_shard, seed, fracs, min_turns, max_turns,
+     id_offset) = args
+    df, truth = _generate_frames(per_shard, seed, *fracs,
+                                 min_turns=min_turns, max_turns=max_turns,
+                                 id_offset=id_offset)
+    t_dir = os.path.join(out_dir, "transcripts.parquet")
+    g_dir = os.path.join(out_dir, "truth_groups.parquet")
+    df.to_parquet(os.path.join(t_dir, f"part-{shard:04d}.parquet"),
+                  index=False, coerce_timestamps="us",
+                  allow_truncated_timestamps=True, row_group_size=131072)
+    truth.to_parquet(os.path.join(g_dir, f"part-{shard:04d}.parquet"),
+                     index=False)
+    return len(truth), len(df)
+
+
+def generate_transcripts_sharded(
+    out_dir: str,
+    n_convs: int,
+    seed: int = 42,
+    n_shards: int = 16,
+    frac_exact: float = 0.15,
+    frac_near: float = 0.15,
+    frac_contain: float = 0.05,
+    frac_hot: float = 0.05,
+    min_turns: int = 2,
+    max_turns: int = 14,
+    processes: int | None = None,
+) -> dict:
+    """Parallel variant for large scaling inputs (tens of millions of
+    turns): ``n_shards`` independent deterministic shards generated by a
+    process pool, written as part files under ``transcripts.parquet/``
+    and ``truth_groups.parquet/`` directories (the natural multi-file
+    layout of a production Iceberg table — which also gives the scan
+    stage its parallelism for free).
+
+    Shard s seeds its own rng at ``seed + 7919·s`` and starts its
+    conv-id counter at ``s · ceil(n_convs/n_shards)``, so the output is
+    deterministic for (seed, n_convs, n_shards) regardless of pool
+    scheduling and ids never collide. Duplicate groups are planted
+    within a shard — the global duplicate structure is the union.
+    """
+    import multiprocessing as mp
+
+    os.makedirs(os.path.join(out_dir, "transcripts.parquet"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "truth_groups.parquet"), exist_ok=True)
+    per_shard = -(-n_convs // n_shards)
+    fracs = (frac_exact, frac_near, frac_contain, frac_hot)
+    tasks = []
+    remaining = n_convs
+    for s in range(n_shards):
+        take = min(per_shard, remaining)
+        remaining -= take
+        if take <= 0:
+            break
+        tasks.append((s, out_dir, take, seed + 7919 * s, fracs,
+                      min_turns, max_turns, s * per_shard))
+    with mp.Pool(processes or min(len(tasks), os.cpu_count() or 4)) as pool:
+        counts = pool.map(_write_shard, tasks)
+    return {
+        "transcripts": os.path.join(out_dir, "transcripts.parquet"),
+        "truth_groups": os.path.join(out_dir, "truth_groups.parquet"),
+        "n_convs": sum(c for c, _ in counts),
+        "n_turns": sum(t for _, t in counts),
+    }

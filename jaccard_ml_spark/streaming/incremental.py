@@ -10,10 +10,17 @@ anti-join-first semantics (deterministic: the new batch always wins).
 
 Cost model: the old side is READ, never recomputed — ``prior_sigs`` is
 the standing signature table maintained across batches (returned as
-``sigs`` each call), so no MinHash UDF runs over prior-corpus rows;
-|new| band rows join the standing bucket table; with the bucket table
-clustered by (band_id, bucket_hash) the join prunes to touched buckets
-only — incremental work scales with the batch, not the corpus.
+``sigs``), so no MinHash UDF runs over prior-corpus rows; and
+``prior_buckets`` is the standing LSH-bucket table (returned as
+``buckets``), so no band-hash projection runs over prior-corpus rows
+either. |new| band rows join the standing bucket table; with that
+table checkpointed bucketed/clustered by (band_id, bucket_hash)
+(``CheckpointStore.write_bucketed``; Iceberg: ``bucket(N, ...)``
+partition transform) the join reads the standing side in place and
+prunes to touched buckets — incremental work scales with the batch,
+not the corpus. (Without ``prior_buckets`` — r2's shape — the bucket
+projection re-derived the whole corpus's band hashes every batch: the
+one corpus-proportional-per-delta cost left, flagged in VERDICT r2.)
 
 Stale-pair invalidation: when a delta batch REPLACES an existing
 conv_id, every prior pair touching an updated id is dropped before the
@@ -43,6 +50,21 @@ from jaccard_ml_spark.operators.cluster import (
 from jaccard_ml_spark.operators.verify import verify_pairs
 from jaccard_ml_spark.plans.pipeline import shingle_sets_from_conversations
 
+# delta tables persisted per batch; a long-lived session folding many
+# batches must release them once the batch's outputs are checkpointed,
+# or executor storage grows by one delta per batch (ADVICE r2)
+_PERSISTED: list = []
+
+
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist the delta tables cached by prior incremental_dedup
+    calls. Call after the returned tables are materialized/
+    checkpointed. Returns the number of tables released."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking)
+    return n
+
 
 def incremental_dedup(
     new_transcripts: DataFrame,
@@ -50,6 +72,7 @@ def incremental_dedup(
     prior_pairs: DataFrame | None,
     cfg: DedupConfig,
     prior_sigs: DataFrame | None = None,
+    prior_buckets: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Process a delta batch against the standing corpus.
 
@@ -60,8 +83,17 @@ def incremental_dedup(
     tests/test_suffix_and_incremental.py). Without it (first call, or
     legacy callers) old signatures are computed from prior_sets once.
 
-    Returns updated {"sets", "sigs", "pairs", "clusters"}. With
-    prior_* = None this degenerates to the batch pipeline.
+    ``prior_buckets`` is the standing (band_id, bucket_hash, id) table
+    from the previous call's ``buckets`` output, checkpointed bucketed
+    by (band_id, bucket_hash) between batches. When provided, the old
+    side of the candidate join is a clean SCAN of that table — no
+    band-hash projection over prior signatures (asserted by plan
+    inspection). Replaced ids are dropped via a broadcast anti-join on
+    the (small) delta id set — a map-side filter, no shuffle of the
+    standing side; on Iceberg the same drop is the MERGE's delete.
+
+    Returns updated {"sets", "sigs", "buckets", "pairs", "clusters"}.
+    With prior_* = None this degenerates to the batch pipeline.
     """
     conv = assemble_conversations(new_transcripts, cfg.text_separator)
     # persist the delta tables: they feed 5+ plan branches (merge
@@ -71,6 +103,7 @@ def incremental_dedup(
     new_sets = shingle_sets_from_conversations(conv, cfg).persist()
     new_ids = new_sets.select("id")
     new_sigs = minhash_signatures(new_sets, cfg).persist()
+    _PERSISTED.extend([new_sets, new_sigs])
 
     if prior_sets is None:
         all_sets = new_sets
@@ -85,11 +118,20 @@ def incremental_dedup(
         else:
             old_sigs = minhash_signatures(surviving_old_sets, cfg)
         all_sigs = old_sigs.unionByName(new_sigs)
-        old_buckets = lsh_buckets(old_sigs, cfg).select(
-            "band_id", "bucket_hash", "id")
+        if prior_buckets is not None:
+            # standing bucket table: scan + broadcast-anti-filter of
+            # replaced ids — zero recomputation over the prior corpus
+            old_buckets = prior_buckets.join(
+                F.broadcast(new_ids), "id", "left_anti"
+            ).select("band_id", "bucket_hash", "id")
+        else:
+            old_buckets = lsh_buckets(old_sigs, cfg).select(
+                "band_id", "bucket_hash", "id")
 
     new_buckets = lsh_buckets(new_sigs, cfg).select(
         "band_id", "bucket_hash", "id")
+    all_buckets = (new_buckets if old_buckets is None
+                   else old_buckets.unionByName(new_buckets))
 
     # new×new
     nn = (
@@ -131,5 +173,5 @@ def incremental_dedup(
 
     comps = connected_components(pairs, cfg.cc_max_iterations)
     clusters = assign_clusters(all_sets, comps)
-    return {"sets": all_sets, "sigs": all_sigs, "pairs": pairs,
-            "clusters": clusters}
+    return {"sets": all_sets, "sigs": all_sigs, "buckets": all_buckets,
+            "pairs": pairs, "clusters": clusters}

@@ -28,15 +28,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    # CLI defaults come from DedupConfig — the single source of truth.
+    # (Hard-coded 128/32 here once contradicted the tuned (96, 16)
+    # banding whose comment documents a measured ~75× false-candidate
+    # blowup at (32, 4) on boilerplate corpora; defaults must never be
+    # able to drift from the pinned config.)
+    from jaccard_ml_spark.config import DEFAULT_CONFIG
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
                     help="transcripts parquet path or iceberg table")
     ap.add_argument("--output", required=True, help="checkpoint root")
     ap.add_argument("--format", default="parquet")
-    ap.add_argument("--threshold", type=float, default=0.8)
-    ap.add_argument("--k-shingle", type=int, default=5)
-    ap.add_argument("--num-perm", type=int, default=128)
-    ap.add_argument("--bands", type=int, default=32)
+    ap.add_argument("--threshold", type=float,
+                    default=DEFAULT_CONFIG.jaccard_threshold)
+    ap.add_argument("--k-shingle", type=int,
+                    default=DEFAULT_CONFIG.k_shingle)
+    ap.add_argument("--num-perm", type=int,
+                    default=DEFAULT_CONFIG.num_perm)
+    ap.add_argument("--bands", type=int, default=DEFAULT_CONFIG.bands)
     ap.add_argument("--master", default=None,
                     help="override master (None = from spark-submit)")
     ap.add_argument("--run-id", default="dedup")

@@ -41,3 +41,52 @@ def test_all_queries_match_oracles(spark):
     results = run_all(spark, SF_DIR)
     bad = {k: v for k, v in results.items() if not v["ok"]}
     assert not bad, bad
+
+
+def test_minhash_band_stats_invariants(spark):
+    """Rows-only invariant oracle for the one query whose values are
+    not SQL-expressible (engine hash family): every configured band
+    must appear exactly once, and each band's bucket sizes must sum to
+    the number of documents that produced a signature."""
+    import __spark_entry__ as E
+    from jaccard_ml_spark.config import DedupConfig
+
+    cfg = DedupConfig()
+    rows = E.q_minhash_band_stats(spark, SF_DIR).collect()
+    assert [r.band_id for r in rows] == list(range(cfg.bands))
+    n_sigs = E._doc_sets(spark, SF_DIR).where(
+        "size(items) > 0").count()
+    for r in rows:
+        assert r.n_rows == n_sigs, (r.band_id, r.n_rows, n_sigs)
+        assert 1 <= r.n_buckets <= n_sigs
+        assert r.max_bucket >= 1
+        assert abs(r.avg_bucket - r.n_rows / r.n_buckets) < 1e-4
+
+
+def test_cli_defaults_equal_pinned_config():
+    """jobs/dedup.py defaults must be sourced from DedupConfig — a
+    hard-coded (128, 32) default once reintroduced the measured ~75×
+    false-candidate blowup the (96, 16) banding was tuned to kill."""
+    import jobs.dedup as J
+    from jaccard_ml_spark.config import DEFAULT_CONFIG
+
+    import argparse
+    captured = {}
+    real_parse = argparse.ArgumentParser.parse_args
+
+    def fake_parse(self, *a, **k):
+        ns = real_parse(self, ["--input", "x", "--output", "y"])
+        captured.update(vars(ns))
+        raise SystemExit(0)  # stop before any Spark work
+
+    argparse.ArgumentParser.parse_args = fake_parse
+    try:
+        import pytest
+        with pytest.raises(SystemExit):
+            J.main()
+    finally:
+        argparse.ArgumentParser.parse_args = real_parse
+    assert captured["num_perm"] == DEFAULT_CONFIG.num_perm
+    assert captured["bands"] == DEFAULT_CONFIG.bands
+    assert captured["k_shingle"] == DEFAULT_CONFIG.k_shingle
+    assert captured["threshold"] == DEFAULT_CONFIG.jaccard_threshold

@@ -136,3 +136,54 @@ def test_cosine_dup_pairs_exactness(emb, spark):
     assert set(got) == set(expected)
     for k_, v in expected.items():
         assert got[k_] == pytest.approx(v, abs=2e-6)
+
+
+def test_bucket_cap_keeps_pile_members_and_meters(spark):
+    """ADVICE r2 (medium): a >cap pile of IDENTICAL vectors lands in
+    the same bucket in every table — truncation would lose beyond-cap
+    members' pairs everywhere. The star-link fix must keep every pile
+    member detected, and the metrics dict must record the capping."""
+    n_pile, cap = 30, 8
+    pile = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n_pile)]
+    other = [(100 + i, [0.0, 1.0 * (1 + i), 0.5 * i, 0.0])
+             for i in range(4)]
+    df = spark.createDataFrame(pile + other,
+                               "vec_id long, embedding array<double>")
+    metrics = {}
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.99, dim=4, brute_cutoff=0,
+        n_planes=2, n_tables=2, bucket_cap=cap,
+        metrics=metrics).collect()
+    # every pile member appears in at least one detected duplicate pair
+    seen = set()
+    for r in pairs:
+        seen.add(r.id_a)
+        seen.add(r.id_b)
+    missing = {i for i, _ in pile} - seen
+    assert not missing, f"capped members lost: {sorted(missing)}"
+    # metering: capped members counted, not silent
+    assert metrics["embdup.capped_members"] > 0, metrics
+    assert metrics["embdup.capped_buckets"] > 0, metrics
+
+
+def test_kmeans_centroids_memory_safe_at_max_params():
+    """The Lloyd's distance step must not materialize the
+    (sample × cells × dim) broadcast temporary (4.3 GB/iter at the
+    documented limits) — the matmul form peaks at O(sample · cells)."""
+    import numpy as np
+
+    import resource
+
+    from jaccard_ml_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(1)
+    sample = rng.standard_normal((2048, 64))
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    cents = kmeans_centroids(sample, 4096, iters=3)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert cents.shape == (2048, 64)  # k clamped to sample size
+    # determinism
+    cents2 = kmeans_centroids(sample, 4096, iters=3)
+    assert (cents == cents2).all()
+    # peak RSS growth stays far below the 4.3 GB broadcast temporary
+    assert (after - before) < 500 * 1024, (before, after)  # KiB on linux

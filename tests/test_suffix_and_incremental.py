@@ -84,7 +84,8 @@ def test_incremental_equals_batch(spark, tmp_path):
 
     step1 = incremental_dedup(tx1, None, None, CFG)
     step2 = incremental_dedup(tx2, step1["sets"], step1["pairs"], CFG,
-                              prior_sigs=step1["sigs"])
+                              prior_sigs=step1["sigs"],
+                              prior_buckets=step1["buckets"])
     inc_pairs = {(r.id_a, r.id_b)
                  for r in step2["pairs"].select("id_a", "id_b").collect()}
     inc_clusters = sorted(
@@ -135,6 +136,53 @@ def test_incremental_reads_standing_signatures(spark, tmp_path):
     assert "InMemoryTableScan" in plan, plan
     assert plan.count("BatchEvalPython") == 0, plan
     assert step2["sigs"].count() == len(half) + n_new
+
+
+def test_incremental_reads_standing_bucket_table(spark, tmp_path):
+    """With prior_buckets provided, the old side of the candidate join
+    must enter as a SCAN of the standing bucket table — no band-hash
+    projection (xxhash64-over-signature-slices) over prior-corpus rows
+    per batch (the r2 corpus-proportional-per-delta cost)."""
+    from jaccard_ml_spark.plans.checkpoint import CheckpointStore
+
+    meta = generate_transcripts(str(tmp_path / "tx"), n_convs=120, seed=7)
+    tx = read_transcripts(spark, meta["transcripts"])
+    ids = sorted(r.conv_id for r in tx.select("conv_id").distinct().collect())
+    half = set(ids[: len(ids) // 2])
+    tx1 = tx.where(F.col("conv_id").isin(half))
+    tx2 = tx.where(~F.col("conv_id").isin(half))
+
+    step1 = incremental_dedup(tx1, None, None, CFG)
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"), "inc")
+    prior_sets = store.write("sets", step1["sets"])
+    prior_sigs = store.write("sigs", step1["sigs"])
+    # the standing bucket table is checkpointed BUCKETED by the join
+    # key, so the candidate join reads it without an exchange
+    prior_buckets = store.write_bucketed("buckets", step1["buckets"],
+                                         ["band_id", "bucket_hash"])
+
+    # reference pairs: the signature-derived old-bucket path
+    ref = incremental_dedup(tx2, prior_sets, step1["pairs"], CFG,
+                            prior_sigs=prior_sigs)
+    got = incremental_dedup(tx2, prior_sets, step1["pairs"], CFG,
+                            prior_sigs=prior_sigs,
+                            prior_buckets=prior_buckets)
+    ref_pairs = {(r.id_a, r.id_b)
+                 for r in ref["pairs"].select("id_a", "id_b").collect()}
+    got_pairs = {(r.id_a, r.id_b)
+                 for r in got["pairs"].select("id_a", "id_b").collect()}
+    assert got_pairs == ref_pairs
+
+    plan = got["pairs"]._jdf.queryExecution().executedPlan().toString()
+    # 1. the standing bucket table enters as a stored scan
+    assert ("ReadSchema: struct<band_id:int,bucket_hash:bigint,"
+            "id:string>") in plan, plan
+    # 2. no signature scan feeds the candidate/verify plan at all —
+    #    the only possible source of an old-side band-hash projection
+    #    is gone (new-batch band hashes come from the in-memory delta)
+    assert "signature:array<bigint>" not in plan, plan
+    # 3. still no row-at-a-time Python
+    assert plan.count("BatchEvalPython") == 0, plan
 
 
 def test_incremental_update_invalidates_stale_pairs(spark):
