@@ -49,8 +49,7 @@ def minhash_udf(num_perm: int, seed: int):
     """
     a, b = _perm_params(num_perm, seed)
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def _minhash(hashes: pd.Series) -> pd.Series:
+    def _minhash_kernel(hashes: pd.Series) -> pd.Series:
         n_rows = len(hashes)
         out: list = [None] * n_rows
         # flatten the batch, then one fused 1-D pass PER PERMUTATION:
@@ -83,7 +82,9 @@ def minhash_udf(num_perm: int, seed: int):
             out[i] = mins[j]
         return pd.Series(out)
 
-    return _minhash
+    from jaccard_ml_spark.functions._trace import traced
+    return pandas_udf(T.ArrayType(T.LongType()))(
+        traced("minhash", _minhash_kernel))
 
 
 def simhash_udf(bits: int = 64, seed: int = 42):

@@ -202,9 +202,12 @@ def _shingle_batch_inner(texts: pd.Series, k: int) -> pd.Series:
 
 
 def shingle_sets_udf(k: int):
+    from jaccard_ml_spark.functions._trace import traced
+    kernel = traced("shingle", lambda texts: _shingle_batch(texts, k))
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def _shingles(texts: pd.Series) -> pd.Series:
-        return _shingle_batch(texts, k)
+        return kernel(texts)
 
     return _shingles
 

@@ -217,31 +217,59 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
 
     c0, c1 = cfg.salt_threshold_c0, cfg.band_split_c1
 
+    # Strategy-branch pruning. The hot and mega classes are RARE by
+    # construction (they exist to absorb boilerplate skew); on clean
+    # corpora their branches are empty — but an empty branch still
+    # costs real wall time per job: each union arm is its own shuffle
+    # stage, and every extra stage pays scheduler dispatch plus up to
+    # `spark.locality.wait` of delay-scheduling latency on executors
+    # that hold no local data (measured 3-4 s PER near-empty stage on
+    # the scaling harness, ~20 s per run across the five arms). One
+    # tiny aggregate on the already-persisted fan-out table tells us
+    # which classes exist; when `cache` is off (no persisted table to
+    # read cheaply) every branch is kept, preserving laziness.
+    if cache:
+        cls = grouped.select(
+            F.sum(((F.col("bucket_size") > c0)
+                   & (F.col("bucket_size") <= c1)).cast("long"))
+            .alias("n_hot"),
+            F.sum((F.col("bucket_size") > c1).cast("long")).alias("n_mega"),
+        ).first()
+        has_hot = bool(cls.n_hot)
+        has_mega = bool(cls.n_mega)
+    else:
+        has_hot = has_mega = True
+
     normal = grouped.where(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= c0))
-    hot = grouped.where(
-        (F.col("bucket_size") > c0) & (F.col("bucket_size") <= c1)
-    ).select("band_id", "bucket_hash",
-             F.explode("members").alias("id"))
-    mega = grouped.where(F.col("bucket_size") > c1).select(
-        "band_id", "bucket_hash", F.explode("members").alias("id"))
+    pairs = _pairs_from_members(normal)
 
-    pairs = _pairs_from_members(normal).unionByName(
-        _salted_pairs(hot, cfg.salt_factor))
+    if has_hot:
+        hot = grouped.where(
+            (F.col("bucket_size") > c0) & (F.col("bucket_size") <= c1)
+        ).select("band_id", "bucket_hash",
+                 F.explode("members").alias("id"))
+        pairs = pairs.unionByName(_salted_pairs(hot, cfg.salt_factor))
 
-    # refined mega buckets: size-1 refined buckets drop out naturally;
-    # genuinely identical texts still pair because their refined hashes
-    # agree on every row
-    refined = _band_split_buckets(mega, signatures, cfg)
-    refined_grouped = refined.groupBy("band_id", "bucket_hash").agg(
-        F.sort_array(F.collect_list("id")).alias("members"),
-        F.count("*").alias("bucket_size"),
-    )
-    refined_normal = refined_grouped.where(
-        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= c0))
-    refined_hot = refined_grouped.where(F.col("bucket_size") > c0).select(
-        "band_id", "bucket_hash", F.explode("members").alias("id"))
-    pairs = pairs.unionByName(_pairs_from_members(refined_normal))
-    pairs = pairs.unionByName(_salted_pairs(refined_hot, cfg.salt_factor))
+    if has_mega:
+        mega = grouped.where(F.col("bucket_size") > c1).select(
+            "band_id", "bucket_hash", F.explode("members").alias("id"))
+        # refined mega buckets: size-1 refined buckets drop out
+        # naturally; genuinely identical texts still pair because their
+        # refined hashes agree on every row
+        refined = _band_split_buckets(mega, signatures, cfg)
+        refined_grouped = refined.groupBy("band_id", "bucket_hash").agg(
+            F.sort_array(F.collect_list("id")).alias("members"),
+            F.count("*").alias("bucket_size"),
+        )
+        refined_normal = refined_grouped.where(
+            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= c0))
+        refined_hot = refined_grouped.where(
+            F.col("bucket_size") > c0
+        ).select("band_id", "bucket_hash",
+                 F.explode("members").alias("id"))
+        pairs = pairs.unionByName(_pairs_from_members(refined_normal))
+        pairs = pairs.unionByName(
+            _salted_pairs(refined_hot, cfg.salt_factor))
 
     return pairs.distinct()

@@ -77,6 +77,14 @@ def get_spark(
         # mmap threshold so UDF exchange allocations recycle through
         # arena free lists instead of mmap/munmap (see _MALLOC_ENV)
         "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
+        # the tables this engine persists are dominated by shingle /
+        # MinHash hash arrays — uniform-random longs that the columnar
+        # cache codecs (RLE/delta/dict) cannot shrink, so the encode
+        # attempt is pure CPU on the cache-build path (measured 21.7s
+        # -> 14.5s materializing the sets cache across 4 executors).
+        # Flip per-table on text-heavy caches if memory is the binding
+        # constraint instead.
+        "spark.sql.inMemoryColumnarStorage.compressed": "false",
     }
     if master.startswith("local"):
         # local and local-cluster masters share ONE co-tenant virtio
