@@ -200,10 +200,13 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
         F.count("*").alias("bucket_size"),
     )
     if cache:
-        # eager: the strategy branches below share this subtree, and a
-        # cold cache races under AQE (branches each materialize it)
+        # persisted: the strategy branches below share this subtree, and
+        # a cold cache races under AQE (branches each materialize it).
+        # Materialization rides on the first driver aggregate below
+        # (auto-tune histogram or strategy-class probe) — an aggregate
+        # computes every partition, populating the cache in the same
+        # job, so no separate eager count() barrier is paid.
         grouped = grouped.persist()
-        grouped.count()
 
     if auto_tune:
         from jaccard_ml_spark.operators.autotune import (
