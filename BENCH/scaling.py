@@ -89,7 +89,13 @@ if mode == "local-cluster":
              # AQE's per-query-stage barriers serialize the DAG in the
              # multi-executor latency regime — measured 113s -> 69s at
              # 4 executors on 3.7M turns with AQE off, no result change
-             "spark.sql.adaptive.enabled": "false"}
+             "spark.sql.adaptive.enabled": "false",
+             # co-tenant host: a steal burst or a full-GC pause >120s
+             # (observed at 45M turns with GB-scale partitions) gets the
+             # executor declared dead, its shuffle output dropped, and
+             # the stage re-run — a measurement-destroying failure mode,
+             # not a real one. A real cluster would ride it out.
+             "spark.network.timeout": "300s"}
 else:
     master = f"local[{n_exec}]"
     total_cores = n_exec
@@ -100,11 +106,21 @@ spark = get_spark(master=master,
                   app_name=f"scaling-{mode}-{n_exec}", extra_conf=extra)
 tx = read_transcripts(spark, tx_path)
 n_turns = tx.count()
+# Partition count scales with DATA, not cores, and is IDENTICAL at
+# both levels (same work granularity → the comparison measures
+# executor scaling, nothing else). Core-proportional counts (the r2
+# scheme, total_cores*2 = 8 at level N) put 5.6M turns in ONE reduce
+# task at 45M turns: the assembly groupBy's collect_list buffered
+# >1.2 GiB per task, the 10 GiB executor heap thrashed in full GC for
+# >120 s, the driver declared the executor dead and re-ran the stage
+# — at ~200k turns (~10 MB) per partition none of that can happen.
+parts = int(max(total_cores * 2, min(1024, n_turns // 200_000)))
+spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 # spread the input across the task slots before timing: a single
 # parquet file's row-group count would otherwise cap the map-side
 # parallelism of the first stage at every level (a production
 # multi-file Iceberg table is naturally wide)
-tx = tx.repartition(total_cores * 2).persist(); tx.count()
+tx = tx.repartition(parts).persist(); tx.count()
 
 # JIT/codegen warmup on a deterministic ~1/MOD hash-range sample of
 # conversations (untimed): measured 616 vs 98 CPU-s cold-vs-warm over
@@ -212,7 +228,7 @@ def calibration_probe() -> float:
 
 
 def wait_for_quiet_host(max_steal: float = 0.05,
-                        max_wait_sec: int = 900,
+                        max_wait_sec: int = 2400,
                         probe_slack: float = 1.25) -> float:
     """Block until a low-steal AND probe-quiet window (or timeout).
 
@@ -264,9 +280,23 @@ def main() -> None:
     else:
         cores_lo, cores_hi = lo * cores_per, hi * cores_per
 
-    runs: dict[int, list[dict]] = {lo: [], hi: []}
-    for rnd in range(rounds):
-        for level, cores in ((lo, cores_lo), (hi, cores_hi)):
+    def run_gated(level: int, cores: int, rnd: int,
+                  max_retries: int = 2) -> dict:
+        """One gated, weather-validated run of a level.
+
+        The co-tenant host turns 2-10× slow in bursts that /proc/stat
+        steal does NOT register (measured: steal 3.8% while the
+        calibration probe ran 25 s vs the quiet-host 2.5 s — a run
+        timed in that window is off by up to the same factor). Gating
+        the START of a round (wait_for_quiet_host) misses weather that
+        turns DURING a 10-40-minute run, so each run is also validated
+        AFTER the fact: post_probe > 2× the session-best probe means
+        the window went bad mid-run and the sample is discarded and
+        re-taken. If every retry is polluted, the least-polluted
+        attempt is kept (annotated) rather than deadlocking.
+        """
+        attempts = []
+        for att in range(max_retries + 1):
             pre_steal = wait_for_quiet_host()
             r = run_level(mode, level, tx_path)
             r["pre_steal"] = round(pre_steal, 4)
@@ -276,13 +306,42 @@ def main() -> None:
             # post-run probe: catches weather that turned DURING the
             # run (steal alone misses it — see calibration_probe)
             r["post_probe"] = round(calibration_probe(), 3)
-            print(f"round {rnd} {mode}[{level}] ({cores} cores): "
+            best_probe = getattr(wait_for_quiet_host, "_best_probe",
+                                 None) or r["pre_probe"]
+            r["weather_polluted"] = bool(
+                r["post_probe"] > max(best_probe, 0.01) * 2.0)
+            print(f"round {rnd} {mode}[{level}] ({cores} cores) "
+                  f"attempt {att}: "
                   f"{r['wall_sec']}s ({r['turns_per_sec']} turns/s, "
                   f"pairs {r['pairs_sec']}s cc {r['cc_sec']}s, "
                   f"steal {pre_steal:.1%}→{r['post_steal']:.1%}, "
-                  f"probe {r['pre_probe']}s→{r['post_probe']}s)",
+                  f"probe {r['pre_probe']}s→{r['post_probe']}s"
+                  f"{', POLLUTED' if r['weather_polluted'] else ''})",
                   flush=True)
+            attempts.append(r)
+            if not r["weather_polluted"]:
+                return r
+        return min(attempts, key=lambda a: a["post_probe"])
+
+    # Seed the session-best probe with a known quiet-host value (env
+    # override): without it, a harness STARTED in a bad-weather window
+    # adopts the slow probe as "best" and the pollution checks go
+    # blind. 0/unset = learn from scratch (original behavior).
+    seed_probe = float(os.environ.get("SCALING_PROBE_BEST", "0"))
+    if seed_probe > 0:
+        wait_for_quiet_host._best_probe = seed_probe
+
+    runs_path = os.path.join(REPO, "BENCH", "scaling_runs.json")
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for rnd in range(rounds):
+        for level, cores in ((lo, cores_lo), (hi, cores_hi)):
+            r = run_gated(level, cores, rnd)
             runs[level].append(r)
+            # incremental persistence: a killed/deadlined harness still
+            # leaves every completed sample on disk
+            with open(runs_path, "w") as f:
+                json.dump({str(k): v for k, v in runs.items()}, f,
+                          indent=2)
             assert r["result_hash"] == runs[level][0]["result_hash"]
 
     def best(level):
@@ -338,14 +397,22 @@ vs 98 CPU-s cold-vs-warm over 4 executors; long-lived production
 executors amortize this to zero), then ONE timed full run.
 
 The sandbox host is co-tenant: measured CPU steal swings 0-50% minute
-to minute and hits the wide 4N level hardest, so rounds are
-interleaved and each starts only when steal ≤ 5% (sampled steal
+to minute and hits the wide 4N level hardest — and it also turns
+2-10× slow in bursts steal does NOT register (measured: steal 3.8%
+while the fixed CPU+memory calibration probe ran 25 s vs the
+quiet-host 2.5 s). Each run is therefore gated twice: a round starts
+only when steal ≤ 5% AND the probe is within 1.25× of the session
+best, and a run whose POST-run probe exceeds 2× the session best
+(weather turned mid-run) is discarded and re-taken (sampled steal
 before→after the best run: N {rlo.get('pre_steal', 0):.1%} →
 {rlo.get('post_steal', 0):.1%}, 4N {rhi.get('pre_steal', 0):.1%} →
-{rhi.get('post_steal', 0):.1%}). The efficiency gate uses each
-level's BEST round (least-contended sample); the mean ± spread over
-rounds is reported alongside per the reference's mean-over-runs
-protocol (src/main.cu:103-108).
+{rhi.get('post_steal', 0):.1%}; probes
+N {rlo.get('pre_probe', 0)}s→{rlo.get('post_probe', 0)}s,
+4N {rhi.get('pre_probe', 0)}s→{rhi.get('post_probe', 0)}s). The
+efficiency gate uses each level's BEST round (least-contended
+sample); the mean ± spread over rounds is reported alongside per the
+reference's mean-over-runs protocol (src/main.cu:103-108). Raw
+per-run samples: BENCH/scaling_runs.json.
 
 Shuffle dirs are tmpfs (`/dev/shm`): the VM's single co-tenant virtio
 disk is shared by all executors — writeback throttling inflated
