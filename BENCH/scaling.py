@@ -228,7 +228,7 @@ def calibration_probe() -> float:
 
 
 def wait_for_quiet_host(max_steal: float = 0.05,
-                        max_wait_sec: int = 2400,
+                        max_wait_sec: int | None = None,
                         probe_slack: float = 1.25) -> float:
     """Block until a low-steal AND probe-quiet window (or timeout).
 
@@ -239,11 +239,15 @@ def wait_for_quiet_host(max_steal: float = 0.05,
     on a permanently-busy host.
     """
     import time as _t
+    if max_wait_sec is None:
+        max_wait_sec = int(os.environ.get("SCALING_MAX_WAIT", "2400"))
+    probe_slack = float(os.environ.get("SCALING_PROBE_SLACK",
+                                       str(probe_slack)))
     waited = 0.0
     best = getattr(wait_for_quiet_host, "_best_probe", None)
     while True:
         s = steal_fraction(3.0)
-        p = calibration_probe()
+        p = probe_min3()
         if best is None or p < best:
             best = p
             wait_for_quiet_host._best_probe = best
@@ -255,6 +259,25 @@ def wait_for_quiet_host(max_steal: float = 0.05,
               f"{best:.2f}s), waiting...", flush=True)
         _t.sleep(30)
         waited += 36
+
+
+def probe_min3() -> float:
+    """Min of 3 calibration probes.
+
+    The co-tenant degradation FLICKERS on a seconds timescale
+    (measured: back-to-back identical probes 1.19 s and 8.08 s), so a
+    single sample is noise in both directions. The MIN over three
+    spaced samples measures the capacity actually available in the
+    window — the flicker-robust signal for both the entry gate and
+    the post-run pollution check.
+    """
+    import time as _t
+    vals = []
+    for i in range(3):
+        vals.append(calibration_probe())
+        if i < 2:
+            _t.sleep(1.0)
+    return min(vals)
 
 
 def main() -> None:
@@ -305,7 +328,7 @@ def main() -> None:
             r["post_steal"] = round(steal_fraction(3.0), 4)
             # post-run probe: catches weather that turned DURING the
             # run (steal alone misses it — see calibration_probe)
-            r["post_probe"] = round(calibration_probe(), 3)
+            r["post_probe"] = round(probe_min3(), 3)
             best_probe = getattr(wait_for_quiet_host, "_best_probe",
                                  None) or r["pre_probe"]
             r["weather_polluted"] = bool(
@@ -344,6 +367,17 @@ def main() -> None:
                           indent=2)
             assert r["result_hash"] == runs[level][0]["result_hash"]
 
+    write_report(runs, mode, lo, hi, n_convs)
+
+
+def write_report(runs: dict, mode: str, lo: int, hi: int,
+                 n_convs: int) -> None:
+    """Compute efficiency from per-run samples and write BASELINE.md.
+
+    Callable standalone (``--report-only``) from the incrementally
+    persisted BENCH/scaling_runs.json, so a harness cut short after a
+    complete round still yields the report.
+    """
     def best(level):
         return max(runs[level], key=lambda r: r["turns_per_sec"])
 
@@ -455,5 +489,18 @@ pinned config on the planted-duplicate fixtures at two seeds).
         print(f"WARNING: efficiency {eff:.3f} < 0.8")
 
 
+def report_only() -> None:
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.json")) as f:
+        raw = json.load(f)
+    runs = {int(k): v for k, v in raw.items()}
+    lo, hi = sorted(runs)
+    mode = os.environ.get("SCALING_MODE", "local-cluster")
+    n_convs = int(os.environ.get("SCALING_N_CONVS", "5760000"))
+    write_report(runs, mode, lo, hi, n_convs)
+
+
 if __name__ == "__main__":
-    main()
+    if "--report-only" in sys.argv:
+        report_only()
+    else:
+        main()
