@@ -55,7 +55,15 @@ mode = sys.argv[1]
 n_exec = int(sys.argv[2])          # executors (local-cluster) or cores (local)
 tx_path = sys.argv[3]
 CORES_PER_EXEC = int(os.environ.get("SCALING_CORES_PER_EXEC", "4"))
-MEM_PER_EXEC_MB = int(os.environ.get("SCALING_MEM_PER_EXEC_MB", "10240"))
+# 20 GiB per 4-core executor (5 GB/core — a routine cluster spec).
+# Sized so the pipeline's multi-scanned cache (shingle sets, ~7 GB at
+# 45M turns) is MEMORY-resident at the SMALL level too: with 10 GiB
+# heaps the N level held the cache 100%% serialized on tmpfs (measured:
+# storage API showed mem 0 MB / disk 9072 MB) and paid a full
+# deserialize on every scan, while 4N's aggregate memory held it
+# deserialized — a storage-tier asymmetry that distorts the compute-
+# scaling comparison (and blew the N wall past the worker timeout).
+MEM_PER_EXEC_MB = int(os.environ.get("SCALING_MEM_PER_EXEC_MB", "20480"))
 
 if mode == "local-cluster":
     master = f"local-cluster[{n_exec},{CORES_PER_EXEC},{MEM_PER_EXEC_MB}]"
@@ -116,11 +124,25 @@ n_turns = tx.count()
 # — at ~200k turns (~10 MB) per partition none of that can happen.
 parts = int(max(total_cores * 2, min(1024, n_turns // 200_000)))
 spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-# spread the input across the task slots before timing: a single
-# parquet file's row-group count would otherwise cap the map-side
-# parallelism of the first stage at every level (a production
-# multi-file Iceberg table is naturally wide)
-tx = tx.repartition(parts).persist(); tx.count()
+# Stage the repartitioned input as parquet on tmpfs ONCE (idempotent,
+# shared by every run at every level) and read THAT:
+# * no executor-memory cache of the input — the pipeline scans it
+#   exactly once (assembly), so caching it only evicted the
+#   multi-scanned shingle-set cache at the small level (measured: the
+#   45M-turn input cache sat 100%% serialized on disk at N, 0 bytes in
+#   memory, and every pass re-deserialized 9 GB)
+# * identical scan cost at both levels (parquet decode is per-task
+#   compute that scales with cores), the production shape — a real job
+#   reads the Iceberg table from storage at every cluster size
+# * file count = data-scaled parts, so map-side parallelism of the
+#   first stage is the same at both levels
+stage_parts = int(max(32, min(1024, n_turns // 200_000)))
+stage_path = "/dev/shm/scaling_stage/" + os.path.basename(
+    os.path.dirname(tx_path))
+if not os.path.exists(stage_path + "/_SUCCESS"):
+    tx.repartition(stage_parts).write.mode("overwrite").parquet(stage_path)
+tx = spark.read.parquet(stage_path)
+tx.count()   # warm tmpfs metadata; data itself is RAM-backed
 
 # JIT/codegen warmup on a deterministic ~1/MOD hash-range sample of
 # conversations (untimed): measured 616 vs 98 CPU-s cold-vs-warm over
@@ -169,7 +191,9 @@ def run_level(mode: str, level: int, tx_path: str) -> dict:
     script = WORKER % {"repo": REPO}
     out = subprocess.run(
         [sys.executable, "-c", script, mode, str(level), tx_path],
-        capture_output=True, text=True, timeout=5400, check=False)
+        capture_output=True, text=True,
+        timeout=int(os.environ.get("SCALING_WORKER_TIMEOUT", "10800")),
+        check=False)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
