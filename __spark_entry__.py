@@ -399,6 +399,29 @@ def q_substring_pairs(spark, sf_dir):
             .select("id_small", "id_big"))
 
 
+def q_cluster_representatives(spark, sf_dir):
+    """Canonicalization: one representative per near-dup cluster (the
+    highest-quality member, ties to the lowest doc_id); keep=0 rows are
+    the drop list. The downstream consumer of dedup_clusters that a
+    training-data pipeline actually runs (operators/curation.py)."""
+    from jaccard_ml_spark.operators.curation import cluster_representatives
+    res = dedup_documents(_docs(spark, sf_dir), CFG)
+    qual = Q.quality_score(_docs(spark, sf_dir))
+    return cluster_representatives(res.clusters, qual)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs containing ≥50% of an
+    eval doc's shingles. Eval side = doc_id % 20 == 0 (a deterministic
+    stand-in benchmark); the operator broadcasts the eval postings so
+    the training side streams shuffle-free (operators/curation.py)."""
+    from jaccard_ml_spark.operators.curation import decontaminate
+    sets_df = _doc_sets(spark, sf_dir)
+    ev = sets_df.where(F.pmod(F.col("id"), F.lit(20)) == 0)
+    tr = sets_df.where(F.pmod(F.col("id"), F.lit(20)) != 0)
+    return decontaminate(tr, ev, threshold=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: near-duplicate clusters of sf0.001 documents."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -431,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash32_near_pairs": q_simhash32_near_pairs,
         "substring_pairs": q_substring_pairs,
+        "cluster_representatives": q_cluster_representatives,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -748,5 +773,64 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash32, b.simhash32))::BIGINT AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
+"""
+
+    # quality formula shared with quality_score (rounded to 6 dp so the
+    # per-cluster argmax is engine-reproducible)
+    _Q_EXPR = """floor((
+         0.3 * least(len(toks) / 100.0, 1.0)
+         + 0.3 * (CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) * 1.0 / len(toks)
+                  ELSE 0.0 END)
+         + 0.4 * least((CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+                       / len(toks) ELSE 0.0 END) / 8.0, 1.0)
+       ) * 1000000.0 + 0.5) / 1000000.0"""
+
+    sql["cluster_representatives"] = f"""
+WITH RECURSIVE {_SQL_PAIRS},
+p AS (SELECT ia, ib FROM jac WHERE j >= 0.8),
+edges AS (SELECT ia AS s, ib AS d FROM p
+          UNION SELECT ib, ia FROM p),
+reach AS (
+  SELECT doc_id AS id, doc_id AS peer FROM documents
+  UNION
+  SELECT r.id, e.d FROM reach r JOIN edges e ON r.peer = e.s
+),
+clus AS (SELECT id AS doc_id, min(peer) AS cluster_id
+         FROM reach GROUP BY id),
+q AS (SELECT doc_id, {_Q_EXPR} AS quality FROM toks),
+m AS (SELECT c.doc_id, c.cluster_id, q.quality
+      FROM clus c JOIN q USING (doc_id)),
+r0 AS (
+  SELECT cluster_id, doc_id AS rep_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM m
+)
+SELECT m.doc_id,
+       m.cluster_id::BIGINT AS cluster_id,
+       reps.rep_id::BIGINT AS rep_id,
+       (m.doc_id = reps.rep_id)::BIGINT AS keep
+FROM m JOIN (SELECT cluster_id, rep_id FROM r0 WHERE rn = 1) reps
+  USING (cluster_id)
+"""
+
+    sql["decontaminate"] = f"""
+WITH {_SQL_SHINGLES},
+ev AS (SELECT doc_id, shingle FROM s WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, shingle FROM s WHERE doc_id % 20 <> 0),
+evsz AS (SELECT doc_id, count(*) AS sz FROM ev GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS i
+  FROM tr t JOIN ev e ON t.shingle = e.shingle
+  GROUP BY 1, 2
+)
+SELECT train_id, eval_id,
+       i::BIGINT AS intersection,
+       z.sz::BIGINT AS size_eval,
+       floor((i * 1.0 / z.sz) * 1000000.0 + 0.5) / 1000000.0 AS containment
+FROM inter JOIN evsz z ON z.doc_id = eval_id
+WHERE i * 1.0 / z.sz >= 0.5
 """
     return sql

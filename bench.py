@@ -34,6 +34,7 @@ HEADLINE = [
     "ivf_topk",
     "embedding_near_dup",
     "assemble_convs",
+    "decontaminate",
 ]
 
 

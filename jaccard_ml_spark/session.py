@@ -66,6 +66,18 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "134217728",
         # deterministic timestamps in tests / oracle comparisons
         "spark.sql.session.timeZone": "UTC",
+        # Conversation assembly (collect_list over conv_id) runs as
+        # ObjectHashAggregate; Spark's default sort-based fallback
+        # threshold is 128 KEYS, so any real partition (10^4-10^5
+        # conversations) abandons the hash map immediately and
+        # external-sorts every task through the memory manager —
+        # jstack at 45M turns showed 3 of 4 task threads blocked on
+        # the UnsafeKVExternalSorter allocation monitor and ~34% task
+        # CPU utilization. Conversations are ~KB-scale objects, so a
+        # million-key map per task is still well inside executor
+        # memory at our data-scaled ~200k-turn partitions.
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold":
+            "4000000",
         # local mode: driver heap hosts every task's sort/join/window
         # buffers plus the block-manager cache — size for the thread
         # count (8g starves 32 concurrent tasks into GC thrash)
