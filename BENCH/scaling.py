@@ -103,7 +103,17 @@ if mode == "local-cluster":
              # executor declared dead, its shuffle output dropped, and
              # the stage re-run — a measurement-destroying failure mode,
              # not a real one. A real cluster would ride it out.
-             "spark.network.timeout": "300s"}
+             "spark.network.timeout": "300s",
+             # The session default for the ObjectHashAggregate sort
+             # fallback is sized for a 4 GiB executor (session.py);
+             # here every executor has a 20 GiB heap and partitions
+             # are data-scaled to ~200k turns (~50k conversations,
+             # ~200 MB of agg buffers per task), so the hash map can
+             # safely hold every key — re-raising the valve that
+             # otherwise put 3 of 4 task threads on the external
+             # sorter's allocation monitor at 45M turns.
+             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold":
+                 "4000000"}
 else:
     master = f"local[{n_exec}]"
     total_cores = n_exec
@@ -122,7 +132,13 @@ n_turns = tx.count()
 # >1.2 GiB per task, the 10 GiB executor heap thrashed in full GC for
 # >120 s, the driver declared the executor dead and re-ran the stage
 # — at ~200k turns (~10 MB) per partition none of that can happen.
-parts = int(max(total_cores * 2, min(1024, n_turns // 200_000)))
+# The FLOOR is level-independent too (the hi level's cores*2, passed
+# by the launcher): a per-level floor of total_cores*2 would give the
+# two levels different work granularity on any input under ~6.4M
+# turns — exactly the confound the data-scaled count eliminates.
+part_floor = int(os.environ.get("SCALING_PART_FLOOR",
+                                str(total_cores * 2)))
+parts = int(max(part_floor, min(1024, n_turns // 200_000)))
 spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 # Stage the repartitioned input as parquet on tmpfs ONCE (idempotent,
 # shared by every run at every level) and read THAT:
@@ -137,8 +153,26 @@ spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 # * file count = data-scaled parts, so map-side parallelism of the
 #   first stage is the same at both levels
 stage_parts = int(max(32, min(1024, n_turns // 200_000)))
-stage_path = "/dev/shm/scaling_stage/" + os.path.basename(
-    os.path.dirname(tx_path))
+# tmpfs staging needs headroom: the staged copy is ~1.2x the source
+# parquet, and the same tmpfs also hosts shuffle dirs (session.py
+# keeps those only above 16 GiB free). Writing blind on a small-shm
+# host fails mid-write or squeezes host memory into OOM together with
+# the 20 GiB executor heaps — mirror the shuffle-dir guard and fall
+# back to a /tmp (disk) stage dir when headroom is insufficient; the
+# stage dir is identical for both levels either way, so the
+# comparison stays level-symmetric.
+import shutil
+src_bytes = sum(
+    os.path.getsize(os.path.join(tx_path, f))
+    for f in os.listdir(tx_path) if f.endswith(".parquet"))
+stage_root = "/dev/shm/scaling_stage"
+try:
+    shm_free = shutil.disk_usage("/dev/shm").free
+except OSError:
+    shm_free = 0
+if shm_free < int(src_bytes * 1.2) + 16 * 1024**3:
+    stage_root = "/tmp/scaling_stage"
+stage_path = stage_root + "/" + os.path.basename(os.path.dirname(tx_path))
 if not os.path.exists(stage_path + "/_SUCCESS"):
     tx.repartition(stage_parts).write.mode("overwrite").parquet(stage_path)
 tx = spark.read.parquet(stage_path)
@@ -326,6 +360,10 @@ def main() -> None:
         cores_lo, cores_hi = lo, hi
     else:
         cores_lo, cores_hi = lo * cores_per, hi * cores_per
+    # level-independent partition floor = the HI level's cores*2, so
+    # both levels get identical work granularity even on inputs small
+    # enough that the data-scaled term does not dominate
+    os.environ.setdefault("SCALING_PART_FLOOR", str(cores_hi * 2))
 
     def run_gated(level: int, cores: int, rnd: int,
                   max_retries: int = 2) -> dict:
@@ -379,9 +417,22 @@ def main() -> None:
         wait_for_quiet_host._best_probe = seed_probe
 
     runs_path = os.path.join(REPO, "BENCH", "scaling_runs.json")
+    # merge-load: samples from prior (killed / deadlined / separate)
+    # harness sessions accumulate instead of being overwritten — the
+    # whole point of incremental persistence on a co-tenant host where
+    # any given session may be cut short.
     runs: dict[int, list[dict]] = {lo: [], hi: []}
+    if os.path.exists(runs_path):
+        with open(runs_path) as f:
+            for k, v in json.load(f).items():
+                runs.setdefault(int(k), []).extend(v)
+    # hi level first: it is ~4x shorter, and on a host where quiet
+    # windows are scarce (r3 lost its whole measurement to co-tenant
+    # weather) the cheapest missing sample should claim the first
+    # window a session finds — merge-loaded prior sessions usually
+    # already hold a lo sample
     for rnd in range(rounds):
-        for level, cores in ((lo, cores_lo), (hi, cores_hi)):
+        for level, cores in ((hi, cores_hi), (lo, cores_lo)):
             r = run_gated(level, cores, rnd)
             runs[level].append(r)
             # incremental persistence: a killed/deadlined harness still
@@ -402,6 +453,14 @@ def write_report(runs: dict, mode: str, lo: int, hi: int,
     persisted BENCH/scaling_runs.json, so a harness cut short after a
     complete round still yields the report.
     """
+    for level in (lo, hi):
+        if not runs.get(level):
+            raise SystemExit(
+                f"no completed samples for level {level} in "
+                f"BENCH/scaling_runs.json — the harness was cut short "
+                f"before that level's first run finished; re-run "
+                f"BENCH/scaling.py (samples accumulate) and retry.")
+
     def best(level):
         return max(runs[level], key=lambda r: r["turns_per_sec"])
 

@@ -48,16 +48,26 @@ def cluster_representatives(clusters: DataFrame,
     Returns (doc_id, cluster_id, rep_id, keep): every member row, its
     cluster's chosen representative, and keep = 1 iff the row IS the
     representative — the "drop list" is ``keep = 0``.
+
+    The quality join is a LEFT join: a member with no quality row must
+    still appear in the output (an inner join silently dropped it from
+    BOTH the keep list and the drop list — for a dedup drop-list that
+    means the doc is silently retained downstream, ADVICE r3). Null
+    quality is treated as -inf, so an unscored member can never win
+    the argmax away from a scored one.
     """
     members = (clusters.select(F.col("id").alias("doc_id"), "cluster_id")
-               .join(quality.select("doc_id", "quality"), "doc_id"))
+               .join(quality.select("doc_id", "quality"), "doc_id", "left"))
     # max_by over (quality, -doc_id) == ORDER BY quality DESC, doc_id
     # ASC LIMIT 1, but partial-aggregatable: map-side combine instead of
     # a per-cluster sort.
     reps = members.groupBy("cluster_id").agg(
         F.max_by(
             "doc_id",
-            F.struct(F.col("quality"), (-F.col("doc_id")).alias("_nid")),
+            F.struct(
+                F.coalesce(F.col("quality"), F.lit(float("-inf"))),
+                (-F.col("doc_id")).alias("_nid"),
+            ),
         ).alias("rep_id"))
     return (members.join(reps, "cluster_id")
             .select(

@@ -197,6 +197,22 @@ def auto_ann_params(
     return n_planes, min(max_tables, tables_for(n_planes))
 
 
+def modeled_recall(threshold: float, n_planes: int, n_tables: int) -> float:
+    """Sign-LSH collision-model recall at the chosen parameters.
+
+    Recorded in ``metrics`` by the callers (VERDICT r3 item 7): when
+    the 64-table cap binds and auto_ann_params trades planes for
+    achievability, the actually-modeled recall — not just the target —
+    must be visible next to the chosen (planes, tables)."""
+    agree = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    q = agree ** n_planes
+    if q >= 1.0:
+        return 1.0
+    if q <= 0.0:
+        return 0.0
+    return 1.0 - (1.0 - q) ** n_tables
+
+
 def _multi_table_bucket_udf(dim: int, n_planes: int, n_tables: int,
                             seed: int):
     """pandas UDF: embedding → array of n_tables packed sign buckets.
@@ -305,30 +321,50 @@ def _pairs_within_groups(assign: DataFrame, group_cols: list[str],
         over = F.greatest(F.size("members") - bucket_cap, F.lit(0))
         row = grouped.select(
             F.sum(over).alias("m"),
-            F.sum((over > 0).cast("long")).alias("b")).first()
+            F.sum((over > 0).cast("long")).alias("b"),
+            F.max(F.size("members")).alias("mx")).first()
         metrics[f"{metrics_prefix}.capped_members"] = int(row.m or 0)
         metrics[f"{metrics_prefix}.capped_buckets"] = int(row.b or 0)
+        metrics[f"{metrics_prefix}.max_bucket_size"] = int(row.mx or 0)
 
-    # the capped and extras branches share the groupBy subtree —
-    # Catalyst's ReusedExchange covers the shuffle, so no persist (and
-    # no cache-leak) is needed here
+    # Capped prefix pairs AND beyond-cap star edges are built in ONE
+    # projection over the grouped table. (Until r4 the star edges were
+    # a second filtered subtree + unionByName — a permanently-near-
+    # empty extra stage on EVERY call even when no bucket exceeded the
+    # cap, the same 3-4 s/stage tax measured and pruned for the LSH
+    # strategy arms in candidates.py. A single expression can never
+    # add a stage: sub-cap buckets just produce an empty star array.)
+    assert bucket_cap >= 2, "bucket_cap < 2 degenerates the pairing"
     grouped = grouped.where(F.size("members") > 1)
-    capped = grouped.select(
-        F.slice("members", 1, bucket_cap).alias("members"))
-    pairs = _pairs_from_members(capped)
-
-    extras = grouped.where(F.size("members") > bucket_cap).select(
-        F.slice("members", 1, rep_count).alias("_reps"),
-        F.explode(F.slice(
-            "members", bucket_cap + 1,
-            F.greatest(F.size("members") - bucket_cap, F.lit(0)),
-        )).alias("id_x"),
-    ).select(F.explode("_reps").alias("id_r"), "id_x").select(
-        F.least("id_r", "id_x").alias("id_a"),
-        F.greatest("id_r", "id_x").alias("id_b"),
-    ).where(F.col("id_a") != F.col("id_b"))
-
-    return pairs.unionByName(extras).distinct()
+    mem = F.col("members")
+    pref = F.slice(mem, 1, bucket_cap)
+    prefix_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(pref) - 1),
+        lambda i: F.transform(
+            F.slice(pref, i + 1, F.size(pref)),
+            lambda y: F.struct(F.element_at(pref, i).alias("id_a"),
+                               y.alias("id_b")),
+        ),
+    ))
+    reps = F.slice(mem, 1, rep_count)
+    beyond = F.slice(mem, bucket_cap + 1,
+                     F.greatest(F.size(mem) - bucket_cap, F.lit(0)))
+    star = F.flatten(F.transform(
+        beyond,
+        lambda x: F.transform(
+            reps,
+            lambda r: F.struct(F.least(r, x).alias("id_a"),
+                               F.greatest(r, x).alias("id_b")),
+        ),
+    ))
+    return (
+        grouped
+        .select(F.explode(F.concat(prefix_pairs, star)).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"),
+                F.col("_p.id_b").alias("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
 
 
 def _score_pairs(cand: DataFrame, vectors: DataFrame,
@@ -402,6 +438,9 @@ def ann_topk(
         auto_p, auto_t = auto_ann_params(n, None, target_occupancy)
         n_planes = n_planes if n_planes is not None else auto_p
         n_tables = n_tables if n_tables is not None else auto_t
+    if metrics is not None:
+        metrics["ann.n_planes"] = n_planes
+        metrics["ann.n_tables"] = n_tables
     assign = ann_assignments(vecs, dim, n_planes, n_tables, seed,
                              id_col, vec_col)
     cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap,
@@ -456,6 +495,14 @@ def embedding_near_dup_pairs(
                                          target_recall=target_recall)
         n_planes = n_planes if n_planes is not None else auto_p
         n_tables = n_tables if n_tables is not None else auto_t
+    if metrics is not None:
+        # the tuned triple, like the skew knobs (operators/autotune):
+        # when the table cap binds and planes were traded away, the
+        # modeled recall shows what the run actually ships
+        metrics["embdup.n_planes"] = n_planes
+        metrics["embdup.n_tables"] = n_tables
+        metrics["embdup.modeled_recall"] = round(
+            modeled_recall(threshold, n_planes, n_tables), 6)
     assign = ann_assignments(vecs, dim, n_planes, n_tables, seed,
                              id_col, vec_col)
     cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap,

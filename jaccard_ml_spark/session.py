@@ -73,11 +73,18 @@ def get_spark(
         # external-sorts every task through the memory manager —
         # jstack at 45M turns showed 3 of 4 task threads blocked on
         # the UnsafeKVExternalSorter allocation monitor and ~34% task
-        # CPU utilization. Conversations are ~KB-scale objects, so a
-        # million-key map per task is still well inside executor
-        # memory at our data-scaled ~200k-turn partitions.
+        # CPU utilization. The fallback is the ONLY spill valve for
+        # object aggregates (it is key-count-, not memory-based), so
+        # the session-wide value is sized against the SMALLEST
+        # supported executor, not the benchmark harness: a 4 GiB /
+        # 4-core executor gives ~1 GiB per task; budgeting a quarter
+        # of that for the agg map at ~4 KiB per conversation buffer
+        # (struct overhead + ~1-2 KB text) bounds the map at ~64k
+        # keys. Contexts that guarantee bigger heaps AND data-scaled
+        # partitions (BENCH/scaling.py: 20 GiB executors, ~200k-turn
+        # partitions) raise this via extra_conf instead.
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold":
-            "4000000",
+            "65536",
         # local mode: driver heap hosts every task's sort/join/window
         # buffers plus the block-manager cache — size for the thread
         # count (8g starves 32 concurrent tasks into GC thrash)

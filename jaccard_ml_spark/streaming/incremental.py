@@ -73,6 +73,8 @@ def incremental_dedup(
     cfg: DedupConfig,
     prior_sigs: DataFrame | None = None,
     prior_buckets: DataFrame | None = None,
+    prior_components: DataFrame | None = None,
+    metrics: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Process a delta batch against the standing corpus.
 
@@ -92,8 +94,27 @@ def incremental_dedup(
     the (small) delta id set — a map-side filter, no shuffle of the
     standing side; on Iceberg the same drop is the MERGE's delete.
 
-    Returns updated {"sets", "sigs", "buckets", "pairs", "clusters"}.
-    With prior_* = None this degenerates to the batch pipeline.
+    ``prior_components`` is the standing (id, cluster_id) CC output
+    over the standing pair table from the previous call's
+    ``components`` output — pair-GRAPH-sized (only ids that appear in
+    some pair), NOT the corpus-wide ``clusters`` assignment. When
+    provided, connected components run BATCH-LOCALLY (VERDICT r3 item
+    4): only components touched by the delta — those containing an
+    endpoint of a new pair or a replaced id (dropped stale pairs can
+    SPLIT a component) — are re-solved, seeded from the new pairs plus
+    the surviving prior pairs of exactly those components; every other
+    component's assignment is carried over untouched. Merges across
+    old components can only happen through a new id, so any old
+    component that could merge contains a new-pair endpoint and is in
+    the affected set — the restriction is lossless. Every join here is
+    bounded by the pair graph or the delta, so per-batch CC work
+    scales with the duplicate neighborhood of the batch, not the
+    standing pair table. Without it the CC re-runs globally (the r3
+    residual).
+
+    Returns updated {"sets", "sigs", "buckets", "pairs", "components",
+    "clusters"}. With prior_* = None this degenerates to the batch
+    pipeline.
     """
     conv = assemble_conversations(new_transcripts, cfg.text_separator)
     # persist the delta tables: they feed 5+ plan branches (merge
@@ -158,6 +179,7 @@ def incremental_dedup(
                              cfg.jaccard_threshold)
     if prior_pairs is None:
         pairs = new_pairs
+        surviving_prior = None
     else:
         # drop every prior pair touching an updated id (stale Jaccard),
         # then union — disjoint, so no tie-break needed
@@ -171,7 +193,48 @@ def incremental_dedup(
         )
         pairs = surviving_prior.unionByName(new_pairs)
 
-    comps = connected_components(pairs, cfg.cc_max_iterations)
+    if prior_components is None or surviving_prior is None:
+        comps = connected_components(pairs, cfg.cc_max_iterations)
+    else:
+        # Batch-local CC. Affected components = those holding an
+        # endpoint of a new pair (possible merge through the new id)
+        # or a replaced id (dropped stale pairs — possible split).
+        # Ids with no prior component (brand-new, or prior singletons)
+        # simply don't match the join and need no pulling-in.
+        touched = (
+            new_pairs.select(F.col("id_a").alias("id"))
+            .unionByName(new_pairs.select(F.col("id_b").alias("id")))
+            .unionByName(new_ids)
+            .distinct()
+        )
+        affected_roots = (
+            prior_components.join(F.broadcast(touched), "id")
+            .select("cluster_id").distinct()
+        )
+        # prior pairs of affected components: id_a's component is the
+        # pair's component (both endpoints share it by definition)
+        affected_prior = (
+            surviving_prior
+            .join(prior_components.withColumnRenamed("id", "id_a"),
+                  "id_a")
+            .join(F.broadcast(affected_roots), "cluster_id")
+            .select(*new_pairs.columns)
+        )
+        cc_input = new_pairs.unionByName(affected_prior)
+        untouched = prior_components.join(
+            F.broadcast(affected_roots), "cluster_id", "left_anti"
+        ).select("id", "cluster_id")
+        if metrics is not None:
+            # observability for the batch-local bound (tests assert the
+            # CC input is the affected neighborhood, not the standing
+            # pair table); three small count jobs, skipped when None
+            metrics["inc.affected_components"] = affected_roots.count()
+            metrics["inc.cc_input_pairs"] = cc_input.count()
+            metrics["inc.untouched_components"] = (
+                untouched.select("cluster_id").distinct().count())
+        solved = connected_components(cc_input, cfg.cc_max_iterations)
+        comps = solved.unionByName(untouched)
+
     clusters = assign_clusters(all_sets, comps)
     return {"sets": all_sets, "sigs": all_sigs, "buckets": all_buckets,
-            "pairs": pairs, "clusters": clusters}
+            "pairs": pairs, "components": comps, "clusters": clusters}

@@ -44,6 +44,27 @@ def test_representatives_planted(spark):
         assert r.keep == (1 if r.doc_id == r.rep_id else 0)
 
 
+def test_representatives_member_without_quality_row(spark):
+    """ADVICE r3 (low): a member missing its quality row must still
+    appear in the output (on the drop list unless it is the only
+    member) — the old inner join silently retained it downstream —
+    and an unscored member never wins the argmax from a scored one."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "id long, cluster_id long")
+    quality = spark.createDataFrame(
+        # doc 3 has NO quality row; cluster 5 has NO scored member
+        [(1, 0.5), (2, 0.9)],
+        "doc_id long, quality double")
+    out = {r.doc_id: r for r in
+           cluster_representatives(clusters, quality).collect()}
+    assert set(out) == {1, 2, 3, 5, 6}          # nothing vanishes
+    assert out[3].rep_id == 2 and out[3].keep == 0   # unscored loses
+    # all-unscored cluster: deterministic lowest-id representative
+    assert out[5].rep_id == 5 and out[5].keep == 1
+    assert out[6].rep_id == 5 and out[6].keep == 0
+
+
 def test_representatives_exactly_one_keep_per_cluster(spark):
     """End-to-end on real sf0.001 docs: keep-count per cluster is 1 and
     the kept member maximises (quality, -doc_id) within its cluster."""

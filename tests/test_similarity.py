@@ -78,6 +78,14 @@ def test_auto_ann_params_scale_with_n():
     # threshold mode: table count solves the collision model
     p, t = auto_ann_params(100_000, threshold=0.9)
     assert 1 <= t <= 64
+    # VERDICT r3 item 7: when the 64-table cap binds (huge n, low
+    # threshold) planes are traded away and the MODELED recall at the
+    # chosen params must still meet the target — and be computable for
+    # the metrics record
+    from jaccard_ml_spark.operators.similarity import modeled_recall
+    p, t = auto_ann_params(100_000_000, threshold=0.9)
+    assert t <= 64
+    assert modeled_recall(0.9, p, t) >= 0.999
 
 
 def test_ivf_topk_recall_and_determinism(emb, exact):
@@ -164,6 +172,31 @@ def test_bucket_cap_keeps_pile_members_and_meters(spark):
     # metering: capped members counted, not silent
     assert metrics["embdup.capped_members"] > 0, metrics
     assert metrics["embdup.capped_buckets"] > 0, metrics
+    assert metrics["embdup.max_bucket_size"] >= n_pile, metrics
+    # the tuned triple lands in metrics (VERDICT r3 item 7)
+    assert metrics["embdup.n_planes"] == 2
+    assert metrics["embdup.n_tables"] == 2
+    assert 0.0 < metrics["embdup.modeled_recall"] <= 1.0
+
+
+def test_capped_pairing_adds_no_extra_stage(spark, emb):
+    """VERDICT r3 item 3: beyond-cap star edges are built in the SAME
+    projection as the prefix pairs — no Union / second subtree in the
+    plan (the old extras branch added a permanently-near-empty stage
+    to every ann/ivf/embdup call even on uncapped data)."""
+    from jaccard_ml_spark.operators.similarity import (
+        _pairs_within_groups,
+        ann_assignments,
+        embedding_near_dup_pairs,
+    )
+    assign = ann_assignments(emb, dim=64, n_planes=3, n_tables=2)
+    cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap=16)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+    nd = embedding_near_dup_pairs(emb, threshold=0.4, dim=64,
+                                  brute_cutoff=0)
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
 
 
 def test_kmeans_centroids_memory_safe_at_max_params():

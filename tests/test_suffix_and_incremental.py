@@ -185,6 +185,76 @@ def test_incremental_reads_standing_bucket_table(spark, tmp_path):
     assert plan.count("BatchEvalPython") == 0, plan
 
 
+def test_incremental_batch_local_cc(spark):
+    """VERDICT r3 item 4: with prior_components provided, per-delta CC
+    must be restricted to components touched by the batch — the CC
+    input is the affected neighborhood, not the standing pair table —
+    while merges (through new ids) and splits (through replaced ids)
+    still resolve exactly as a global recompute."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "lambda", "mu"]
+    text_a = " ".join(words * 4)
+    text_b = " ".join(reversed(words)) * 4
+
+    def tx_rows(rows):
+        return spark.createDataFrame(
+            [(cid, 0, "user", text, None, None) for cid, text in rows],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp")
+
+    # standing corpus: cluster A {A1,A2}, cluster B {B1,B2,B3}, loner C
+    b1 = tx_rows([("A1", text_a), ("A2", text_a),
+                  ("B1", text_b), ("B2", text_b), ("B3", text_b),
+                  ("C", "totally unrelated single document text here")])
+    s1 = incremental_dedup(b1, None, None, CFG)
+    n_standing_pairs = s1["pairs"].count()   # 1 (A) + 3 (B) = 4
+
+    # delta: N joins cluster A; cluster B must be untouched
+    b2 = tx_rows([("N", text_a)])
+    metrics: dict = {}
+    s2 = incremental_dedup(b2, s1["sets"], s1["pairs"], CFG,
+                           prior_sigs=s1["sigs"],
+                           prior_components=s1["components"],
+                           metrics=metrics)
+    # global-recompute reference (no prior_components)
+    ref = incremental_dedup(b2, s1["sets"], s1["pairs"], CFG,
+                            prior_sigs=s1["sigs"])
+    got = sorted((r.id, r.cluster_id) for r in s2["clusters"].collect())
+    want = sorted((r.id, r.cluster_id) for r in ref["clusters"].collect())
+    assert got == want
+    clusters = dict(got)
+    assert clusters["N"] == clusters["A1"] == clusters["A2"]
+    assert clusters["B1"] == clusters["B2"] == clusters["B3"]
+    assert clusters["B1"] != clusters["A1"]
+    # the bound: CC ran over A's neighborhood only (A1A2 + A1N + A2N),
+    # NOT the standing pair table (B's 3 pairs stayed out)
+    assert metrics["inc.affected_components"] == 1, metrics
+    assert metrics["inc.untouched_components"] == 1, metrics
+    assert metrics["inc.cc_input_pairs"] == 3, metrics
+    assert metrics["inc.cc_input_pairs"] < n_standing_pairs + 3, metrics
+
+    # split case: replacing B2 with unrelated text splits cluster B
+    b3 = tx_rows([("B2", "completely different words entirely unrelated "
+                         "content nothing shared at all")])
+    m3: dict = {}
+    s3 = incremental_dedup(b3, s2["sets"], s2["pairs"], CFG,
+                           prior_sigs=s2["sigs"],
+                           prior_components=s2["components"],
+                           metrics=m3)
+    ref3 = incremental_dedup(b3, s2["sets"], s2["pairs"], CFG,
+                             prior_sigs=s2["sigs"])
+    got3 = sorted((r.id, r.cluster_id) for r in s3["clusters"].collect())
+    want3 = sorted((r.id, r.cluster_id) for r in ref3["clusters"].collect())
+    assert got3 == want3
+    c3 = dict(got3)
+    assert c3["B1"] == c3["B3"] != c3["B2"]          # split resolved
+    assert c3["A1"] == c3["A2"] == c3["N"]            # A untouched
+    # only B's component was re-solved (B1-B3 surviving pair)
+    assert m3["inc.affected_components"] == 1, m3
+    assert m3["inc.untouched_components"] >= 1, m3
+    assert m3["inc.cc_input_pairs"] == 1, m3
+
+
 def test_incremental_update_invalidates_stale_pairs(spark):
     """MERGE-semantics regression (ADVICE r1): replacing a conv's text
     must drop pairs computed against the OLD text — a pair whose
