@@ -175,8 +175,32 @@ def incremental_dedup(
         )
         cands = cands.unionByName(no)
 
-    new_pairs = verify_pairs(cands.distinct(), all_sets,
-                             cfg.jaccard_threshold)
+    if prior_sets is None:
+        verify_sets = all_sets
+        cands = cands.distinct()
+    else:
+        # The verify joins probe only candidate ids, but joining the
+        # candidates against the corpus-wide set table sort-merges —
+        # i.e. SHUFFLES — the whole standing corpus every batch: the
+        # dominant corpus-proportional term, measured on the r4 curve
+        # harness (BENCH/incremental_curve.py) as 19s → 37s → 394s of
+        # per-batch wall at 60k → 240k → 960k standing conversations
+        # with a fixed 4k delta. Candidates are persisted once (they
+        # feed the id-set build, verify, and the CC touched-set), the
+        # candidate id set — bounded by |delta| × bucket occupancy, the
+        # premise of incremental mode — is BROADCAST, and the standing
+        # sets are semi-join-filtered map-side before the verify joins:
+        # the corpus is scanned (Iceberg prunes that too), never
+        # shuffled; only the batch's duplicate neighborhood shuffles.
+        cands = cands.distinct().persist()
+        _PERSISTED.append(cands)
+        cand_ids = (cands.select(F.col("id_a").alias("id"))
+                    .unionByName(cands.select(F.col("id_b").alias("id")))
+                    .distinct())
+        verify_sets = all_sets.join(F.broadcast(cand_ids), "id",
+                                    "left_semi")
+
+    new_pairs = verify_pairs(cands, verify_sets, cfg.jaccard_threshold)
     if prior_pairs is None:
         pairs = new_pairs
         surviving_prior = None
