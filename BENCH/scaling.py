@@ -341,13 +341,23 @@ def probe_min3() -> float:
 def main() -> None:
     n_convs = int(os.environ.get("SCALING_N_CONVS", "5760000"))
     tx_dir = f"/tmp/spark_graft_scaling_v3_{n_convs}"
-    if not os.path.exists(f"{tx_dir}/transcripts.parquet"):
+    # Gate regeneration on a completion marker, not directory existence:
+    # generate_transcripts_sharded makedirs before writing shards, so a
+    # killed generation leaves empty dirs that a bare exists() check
+    # mistakes for a finished input (and the harness then runs on zero
+    # rows). The marker is written only after the pool returns.
+    done_marker = f"{tx_dir}/_GEN_DONE"
+    if not os.path.exists(done_marker):
         sys.path.insert(0, REPO)
+        import shutil as _sh
+        _sh.rmtree(tx_dir, ignore_errors=True)
         from jaccard_ml_spark.sources.generator import (
             generate_transcripts_sharded,
         )
-        generate_transcripts_sharded(tx_dir, n_convs=n_convs, seed=42,
-                                     n_shards=32)
+        info = generate_transcripts_sharded(tx_dir, n_convs=n_convs,
+                                            seed=42, n_shards=32)
+        with open(done_marker, "w") as f:
+            json.dump(info, f)
     tx_path = f"{tx_dir}/transcripts.parquet"
 
     mode = os.environ.get("SCALING_MODE", "local-cluster")
