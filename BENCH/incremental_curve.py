@@ -47,6 +47,7 @@ def main() -> None:
     from jaccard_ml_spark.plans.checkpoint import CheckpointStore
     from jaccard_ml_spark.session import get_spark
     from jaccard_ml_spark.sources.generator import (
+        ensure_generated,
         generate_transcripts_sharded,
     )
     from jaccard_ml_spark.sources.tables import read_transcripts
@@ -56,9 +57,8 @@ def main() -> None:
     )
 
     tx_dir = f"/tmp/spark_graft_curve_{TOTAL}"
-    if not os.path.exists(f"{tx_dir}/transcripts.parquet"):
-        generate_transcripts_sharded(tx_dir, n_convs=TOTAL, seed=4242,
-                                     n_shards=32)
+    ensure_generated(tx_dir, generate_transcripts_sharded,
+                     n_convs=TOTAL, seed=4242, n_shards=32)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(master=f"local[{cpus}]",

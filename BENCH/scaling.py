@@ -47,7 +47,22 @@ os.environ.setdefault("SPARK_HOME", "/opt/spark")
 sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
 from jaccard_ml_spark.config import DedupConfig
+from pyspark import StorageLevel
 from jaccard_ml_spark.plans.pipeline import dedup_pipeline
+
+# Cache tier is pinned IDENTICAL at both levels. At 45M turns the
+# deserialized columnar cache is ~27 GB (measured 922 MB per 1.5M
+# turns): no per-executor heap that four of fit on this 125 GiB box
+# can hold it at level N, so letting Spark pick the tier gives
+# memory-at-4N / spilled-at-N — the r2 harness defect (storage
+# asymmetry, not compute scaling). DISK_ONLY on the tmpfs local dirs
+# is a serialized RAM-backed cache whose per-byte decode cost is paid
+# per task, identically at both levels. SCALING_CACHE_LEVEL=memory
+# restores the default tier for small inputs where the cache fits the
+# level-N pool (the worker-reported cache_mem/cache_disk fields prove
+# which tier a run actually used).
+CACHE_LEVEL = (None if os.environ.get("SCALING_CACHE_LEVEL") == "memory"
+               else StorageLevel.DISK_ONLY)
 from jaccard_ml_spark.session import get_spark
 from jaccard_ml_spark.sources.tables import read_transcripts
 
@@ -55,21 +70,46 @@ mode = sys.argv[1]
 n_exec = int(sys.argv[2])          # executors (local-cluster) or cores (local)
 tx_path = sys.argv[3]
 CORES_PER_EXEC = int(os.environ.get("SCALING_CORES_PER_EXEC", "4"))
-# 20 GiB per 4-core executor (5 GB/core — a routine cluster spec).
-# Sized so the pipeline's multi-scanned cache (shingle sets, ~7 GB at
-# 45M turns) is MEMORY-resident at the SMALL level too: with 10 GiB
-# heaps the N level held the cache 100%% serialized on tmpfs (measured:
-# storage API showed mem 0 MB / disk 9072 MB) and paid a full
-# deserialize on every scan, while 4N's aggregate memory held it
-# deserialized — a storage-tier asymmetry that distorts the compute-
-# scaling comparison (and blew the N wall past the worker timeout).
-MEM_PER_EXEC_MB = int(os.environ.get("SCALING_MEM_PER_EXEC_MB", "20480"))
+# 14 GiB per 4-core executor (3.5 GB/core — a routine cluster spec).
+# Two constraints pin this:
+# * floor — the pipeline's multi-scanned cache (shingle sets, ~7 GB at
+#   45M turns) must be MEMORY-resident at the SMALL level too: with
+#   10 GiB heaps the N level held the cache 100%% serialized on tmpfs
+#   (measured: storage API showed mem 0 MB / disk 9072 MB) and paid a
+#   full deserialize on every scan while 4N's aggregate memory held it
+#   deserialized — a storage-tier asymmetry that distorts the compute-
+#   scaling comparison. spark.memory.fraction=0.75 below (identical at
+#   both levels) gives a 14 GiB heap a ~10.5 GiB unified pool, the
+#   headroom the r3 harness bought with 20 GiB heaps at default 0.6.
+# * ceiling — the whole 4N level must fit the sandbox box: 4x20 GiB
+#   heaps balloon to ~80 GiB RSS which, plus the tmpfs shuffle dirs
+#   (~29 GiB at 45M turns), the staged input (6.6 GiB), the driver JVM
+#   and the Python workers, blew past 125 GiB — the kernel OOM killer
+#   shot an executor mid-run (dmesg: java anon-rss 19.7 GiB killed).
+#   4x14 GiB + tmpfs + driver ~= 105 GiB peak, ~20 GiB headroom.
+# The worker reports cache_mem/cache_disk bytes per run so the report
+# can PROVE the storage tier stayed symmetric at both levels.
+MEM_PER_EXEC_MB = int(os.environ.get("SCALING_MEM_PER_EXEC_MB", "14336"))
 
 if mode == "local-cluster":
     master = f"local-cluster[{n_exec},{CORES_PER_EXEC},{MEM_PER_EXEC_MB}]"
     total_cores = n_exec * CORES_PER_EXEC
     extra = {"spark.executor.memory": f"{MEM_PER_EXEC_MB}m",
              "spark.python.worker.memory": "1024m",
+             # cache-heavy job, identical at both levels: 0.75 gives a
+             # 14 GiB heap the unified pool a 20 GiB heap has at the
+             # 0.6 default, so the shingle-set cache stays deserialized
+             # in memory at level N without heaps the box cannot hold
+             # four of (see MEM_PER_EXEC_MB note)
+             "spark.memory.fraction": "0.75",
+             # NOT set: -XX:ActiveProcessorCount=4. Measured: capping
+             # each executor JVM's visible processors at its core quota
+             # multiplies GC wall 30-50x on the object-heavy aggregate
+             # stages (G1 young pauses with 4 GC threads on a 14 GiB
+             # heap: 3.5s -> 189s GC in the bucket-group stage at 4N,
+             # BENCH/stage_diag.py). Plain YARN/K8s containers without
+             # an explicit cpuset see node-sized GC ergonomics too, so
+             # box-sized GC threads are the faithful default here.
              # Delay scheduling: measured both failure modes on this
              # pipeline. wait=0 lets tasks land on executors that do
              # NOT hold their cached partition — the InMemoryTableScan
@@ -188,17 +228,29 @@ warm_mod = int(os.environ.get("SCALING_WARMUP_MOD", "8"))
 t_w0 = time.monotonic()
 if warm_mod > 0:
     sample = tx.where(F.pmod(F.xxhash64("conv_id"), F.lit(warm_mod)) == 0)
-    wres = dedup_pipeline(sample, DedupConfig())
+    wres = dedup_pipeline(sample, DedupConfig(), storage_level=CACHE_LEVEL)
     wres.pairs.count(); wres.clusters.count()
     wres.shingle_sets.unpersist(); wres.pairs.unpersist()
 warmup_sec = time.monotonic() - t_w0
 
 t0 = time.monotonic()
-res = dedup_pipeline(tx, DedupConfig())
+res = dedup_pipeline(tx, DedupConfig(), storage_level=CACHE_LEVEL)
 n_pairs = res.pairs.count()
 pairs_sec = time.monotonic() - t0
 res.clusters.count()
 wall = time.monotonic() - t0
+
+# storage-tier symmetry evidence: bytes of persisted RDDs held in
+# memory vs spilled to local dirs, read from the storage API (the r2
+# harness defect was exactly an asymmetry here — cache 100%% on disk at
+# N, in memory at 4N; the report asserts this cannot recur silently)
+cache_mem_mb = cache_disk_mb = -1
+try:
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    cache_mem_mb = int(sum(i.memSize() for i in infos) / 1048576)
+    cache_disk_mb = int(sum(i.diskSize() for i in infos) / 1048576)
+except Exception:
+    pass
 
 # result hash OUTSIDE the timed window (driver-side download is not
 # pipeline compute; identical at every level by assertion)
@@ -215,6 +267,7 @@ print("RESULT " + json.dumps({
     "cc_sec": round(wall - pairs_sec, 2),
     "warmup_sec": round(warmup_sec, 2),
     "turns_per_sec": round(n_turns / wall, 1),
+    "cache_mem_mb": cache_mem_mb, "cache_disk_mb": cache_disk_mb,
     "result_hash": rhash,
 }))
 spark.stop()
@@ -228,11 +281,17 @@ def run_level(mode: str, level: int, tx_path: str) -> dict:
         capture_output=True, text=True,
         timeout=int(os.environ.get("SCALING_WORKER_TIMEOUT", "10800")),
         check=False)
+    # full worker output always lands on disk: the in-exception tail is
+    # dominated by SparkContext-shutdown noise (RejectedExecutionException
+    # storms) that buries the actual failure
+    log = f"/tmp/scaling_worker_{mode}_{level}.log"
+    with open(log, "w") as f:
+        f.write(out.stdout + "\n===STDERR===\n" + out.stderr)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"worker {mode}/{level} failed:\n{out.stdout[-2000:]}\n"
-                       f"{out.stderr[-4000:]}")
+    raise RuntimeError(f"worker {mode}/{level} failed (full log: {log}):\n"
+                       f"{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
 def steal_fraction(seconds: float = 3.0) -> float:
@@ -341,23 +400,16 @@ def probe_min3() -> float:
 def main() -> None:
     n_convs = int(os.environ.get("SCALING_N_CONVS", "5760000"))
     tx_dir = f"/tmp/spark_graft_scaling_v3_{n_convs}"
-    # Gate regeneration on a completion marker, not directory existence:
-    # generate_transcripts_sharded makedirs before writing shards, so a
-    # killed generation leaves empty dirs that a bare exists() check
-    # mistakes for a finished input (and the harness then runs on zero
-    # rows). The marker is written only after the pool returns.
-    done_marker = f"{tx_dir}/_GEN_DONE"
-    if not os.path.exists(done_marker):
-        sys.path.insert(0, REPO)
-        import shutil as _sh
-        _sh.rmtree(tx_dir, ignore_errors=True)
-        from jaccard_ml_spark.sources.generator import (
-            generate_transcripts_sharded,
-        )
-        info = generate_transcripts_sharded(tx_dir, n_convs=n_convs,
-                                            seed=42, n_shards=32)
-        with open(done_marker, "w") as f:
-            json.dump(info, f)
+    sys.path.insert(0, REPO)
+    from jaccard_ml_spark.sources.generator import (
+        ensure_generated,
+        generate_transcripts_sharded,
+    )
+    # completion-marker gated: a killed generation leaves empty dirs a
+    # bare exists() check mistakes for a finished input (the harness
+    # then runs on zero rows); ensure_generated wipes partials
+    ensure_generated(tx_dir, generate_transcripts_sharded,
+                     n_convs=n_convs, seed=42, n_shards=32)
     tx_path = f"{tx_dir}/transcripts.parquet"
 
     mode = os.environ.get("SCALING_MODE", "local-cluster")
@@ -435,7 +487,13 @@ def main() -> None:
     if os.path.exists(runs_path):
         with open(runs_path) as f:
             for k, v in json.load(f).items():
-                runs.setdefault(int(k), []).extend(v)
+                # merge only samples of the SAME input: a smoke run at a
+                # smaller SCALING_N_CONVS would otherwise mix into the
+                # report's best/mean and trip the cross-level hash assert
+                same_input = [r for r in v
+                              if abs(r.get("turns", 0) - n_convs * 7.8)
+                              < n_convs * 1.0]
+                runs.setdefault(int(k), []).extend(same_input)
     # hi level first: it is ~4x shorter, and on a host where quiet
     # windows are scarce (r3 lost its whole measurement to co-tenant
     # weather) the cheapest missing sample should claim the first

@@ -125,13 +125,15 @@ def _bench_transcripts(spark, sf: float):
     """Full pipeline wall time on a synthetic transcripts table."""
     from jaccard_ml_spark.config import DedupConfig
     from jaccard_ml_spark.plans.pipeline import dedup_pipeline
-    from jaccard_ml_spark.sources.generator import generate_transcripts
+    from jaccard_ml_spark.sources.generator import (
+        ensure_generated,
+        generate_transcripts,
+    )
     from jaccard_ml_spark.sources.tables import read_transcripts
 
     n_convs = max(500, int(40000 * sf)) if sf > 0 else 2000
     cache = f"/tmp/spark_graft_bench_tx_{n_convs}"
-    if not os.path.exists(f"{cache}/transcripts.parquet"):
-        generate_transcripts(cache, n_convs=n_convs, seed=42)
+    ensure_generated(cache, generate_transcripts, n_convs=n_convs, seed=42)
     tx = read_transcripts(spark, f"{cache}/transcripts.parquet")
     n_turns = tx.count()
 

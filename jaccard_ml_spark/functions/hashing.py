@@ -40,6 +40,50 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def minhash_core(hashes: pd.Series, a: np.ndarray, b: np.ndarray,
+                 num_perm: int) -> pd.Series:
+    """Batch kernel: Series of int64 element arrays → Series of
+    num_perm-long int64 signature arrays (None for empty/null sets).
+
+    Shared by the standalone ``minhash_udf`` and the fused
+    shingle+minhash pass (functions/shingle_arrow.py) so both produce
+    bit-identical signatures — the fused path exists to skip one full
+    Arrow round trip of the element arrays, the largest column in the
+    pipeline.
+    """
+    n_rows = len(hashes)
+    out: list = [None] * n_rows
+    # flatten the batch, then one fused 1-D pass PER PERMUTATION:
+    # h = a_j * values + b_j (wrapping uint64) followed by a 1-D
+    # minimum.reduceat at row offsets. The 1-D contiguous layout is
+    # ~77x faster than the (values × num_perm) 2-D axis-0 reduceat
+    # (measured) and its temporaries are O(N), not O(N · num_perm).
+    arrays, idx, lens = [], [], []
+    for i in range(n_rows):
+        arr = hashes.iloc[i]
+        if arr is not None and len(arr) > 0:
+            arrays.append(np.asarray(arr, dtype=np.int64))
+            idx.append(i)
+            lens.append(len(arr))
+    if not arrays:
+        return pd.Series(out)
+    values = np.concatenate(arrays).view(np.uint64)
+    offsets = np.zeros(len(arrays), dtype=np.intp)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    mins = np.empty((len(arrays), num_perm), dtype=np.uint64)
+    # reuse one scratch buffer across permutations: fresh 8·N-byte
+    # temporaries per perm are mmap-churn under concurrent workers
+    hj = np.empty_like(values)
+    for j in range(num_perm):
+        np.multiply(values, a[j], out=hj)
+        np.add(hj, b[j], out=hj)
+        np.minimum.reduceat(hj, offsets, out=mins[:, j])
+    mins = mins.view(np.int64)
+    for j, i in enumerate(idx):
+        out[i] = mins[j]
+    return pd.Series(out)
+
+
 def minhash_udf(num_perm: int, seed: int):
     """pandas UDF: array<long> shingle hashes → array<long> signature.
 
@@ -50,37 +94,7 @@ def minhash_udf(num_perm: int, seed: int):
     a, b = _perm_params(num_perm, seed)
 
     def _minhash_kernel(hashes: pd.Series) -> pd.Series:
-        n_rows = len(hashes)
-        out: list = [None] * n_rows
-        # flatten the batch, then one fused 1-D pass PER PERMUTATION:
-        # h = a_j * values + b_j (wrapping uint64) followed by a 1-D
-        # minimum.reduceat at row offsets. The 1-D contiguous layout is
-        # ~77x faster than the (values × num_perm) 2-D axis-0 reduceat
-        # (measured) and its temporaries are O(N), not O(N · num_perm).
-        arrays, idx, lens = [], [], []
-        for i in range(n_rows):
-            arr = hashes.iloc[i]
-            if arr is not None and len(arr) > 0:
-                arrays.append(np.asarray(arr, dtype=np.int64))
-                idx.append(i)
-                lens.append(len(arr))
-        if not arrays:
-            return pd.Series(out)
-        values = np.concatenate(arrays).view(np.uint64)
-        offsets = np.zeros(len(arrays), dtype=np.intp)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        mins = np.empty((len(arrays), num_perm), dtype=np.uint64)
-        # reuse one scratch buffer across permutations: fresh 8·N-byte
-        # temporaries per perm are mmap-churn under concurrent workers
-        hj = np.empty_like(values)
-        for j in range(num_perm):
-            np.multiply(values, a[j], out=hj)
-            np.add(hj, b[j], out=hj)
-            np.minimum.reduceat(hj, offsets, out=mins[:, j])
-        mins = mins.view(np.int64)
-        for j, i in enumerate(idx):
-            out[i] = mins[j]
-        return pd.Series(out)
+        return minhash_core(hashes, a, b, num_perm)
 
     from jaccard_ml_spark.functions._trace import traced
     return pandas_udf(T.ArrayType(T.LongType()))(

@@ -218,3 +218,66 @@ def add_shingle_hash_sets_arrow(df, text_col: str, k: int,
     functions.text.add_shingle_hash_sets (the production hot path)."""
     udf = shingle_sets_udf(k)
     return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def fused_shingle_minhash(df, text_col: str, k: int,
+                          num_perm: int, seed: int,
+                          id_col: str = "id"):
+    """(id, text) → (id, items, set_size, signature) in ONE Arrow pass.
+
+    The two-UDF formulation ships the shingle-hash arrays across the
+    JVM↔Python boundary twice — once out of the shingle UDF, once back
+    into the MinHash UDF. The element arrays are the pipeline's widest
+    column (~600 int64 per conversation, ~5× the text bytes), and the
+    box-level profile shows the stage that carries them is memory-
+    bandwidth-bound (BENCH/stage_diag.py; SCALE_NOTES) — so the second
+    round trip is pure bandwidth tax: the MinHash kernel consumes
+    exactly what the shingle kernel just produced. Fusing them runs
+    both kernels back-to-back on the in-process numpy arrays and
+    crosses the boundary once: text in, (items, set_size, signature)
+    out. Kernels are shared with the standalone UDFs
+    (``_shingle_batch``, ``hashing.minhash_core``), so items and
+    signatures are bit-identical to the unfused path — asserted by
+    test_fused_equals_two_step.
+
+    Analog of the reference folding hash generation into the same CUDA
+    kernel as the bucket scatter rather than materializing
+    intermediates through global memory twice (src/main.cu batching).
+    """
+    from jaccard_ml_spark.functions._trace import traced
+    from jaccard_ml_spark.functions.hashing import (
+        _perm_params,
+        minhash_core,
+    )
+
+    a, b = _perm_params(num_perm, seed)
+    shingle_kernel = traced("shingle",
+                            lambda texts: _shingle_batch(texts, k))
+    mh_kernel = traced("minhash",
+                       lambda items: minhash_core(items, a, b, num_perm))
+
+    schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType),
+        T.StructField("items", T.ArrayType(T.LongType())),
+        T.StructField("set_size", T.IntegerType()),
+        T.StructField("signature", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches):
+        # input batches carry exactly (id, <text_col>) — id is aliased
+        # before mapInPandas so the kernel is name-agnostic on the
+        # caller's id column
+        for pdf in batches:
+            items = shingle_kernel(pdf[text_col])
+            sigs = mh_kernel(items)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "items": items.to_numpy(),
+                "set_size": np.fromiter(
+                    (len(x) for x in items), dtype=np.int32,
+                    count=len(items)),
+                "signature": sigs.to_numpy(),
+            })
+
+    return df.select(F.col(id_col).alias("id"),
+                     F.col(text_col)).mapInPandas(gen, schema)

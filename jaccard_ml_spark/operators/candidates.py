@@ -162,7 +162,9 @@ def _band_split_buckets(mega: DataFrame, signatures: DataFrame,
 
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
                     cache: bool = True, auto_tune: bool = False,
-                    tuned: dict | None = None) -> DataFrame:
+                    tuned: dict | None = None,
+                    signatures_persisted: bool = False,
+                    storage_level=None) -> DataFrame:
     """LSH candidate pairs (id_a, id_b), skew-aware, exactly-once.
 
     Returns distinct canonical pairs. The union of three strategies by
@@ -185,10 +187,17 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     (measured 48 Arrow evals in the naive plan). On a production
     cluster this is the checkpointed signature/bucket Iceberg table.
     """
-    if cache:
+    if cache and not signatures_persisted:
         # mega-bucket band splitting joins signatures back by id; keep
-        # them warm so the (rare) branch doesn't recompute the UDF
-        signatures = signatures.persist()
+        # them warm so the (rare) branch doesn't recompute the UDF.
+        # ``signatures_persisted=True`` (the fused-pipeline path) means
+        # the caller's cache already holds the signature column — a
+        # second persist would duplicate ~1 KB/conversation of cache
+        # and, worse, at a DIFFERENT storage tier than the caller's
+        # pinned one (the N-vs-4N tier asymmetry BENCH/scaling.py
+        # guards against).
+        signatures = (signatures.persist(storage_level) if storage_level
+                      else signatures.persist())
     buckets = lsh_buckets(signatures, cfg)
     # ONE exchange: group each bucket's members together. Everything
     # below works on the grouped table — within-bucket pairs are
@@ -206,7 +215,8 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
         # (auto-tune histogram or strategy-class probe) — an aggregate
         # computes every partition, populating the cache in the same
         # job, so no separate eager count() barrier is paid.
-        grouped = grouped.persist()
+        grouped = (grouped.persist(storage_level) if storage_level
+                   else grouped.persist())
 
     if auto_tune:
         from jaccard_ml_spark.operators.autotune import (

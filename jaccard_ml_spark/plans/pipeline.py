@@ -37,7 +37,8 @@ from jaccard_ml_spark.operators.verify import verify_pairs
 @dataclass
 class DedupResult:
     conversations: DataFrame   # conv_id, n_turns, turns, text
-    shingle_sets: DataFrame    # id, items
+    shingle_sets: DataFrame    # id, items (+ set_size, signature on the
+                               # fused arrow path — it IS the cache)
     signatures: DataFrame      # id, set_size, signature
     candidates: DataFrame      # id_a, id_b
     pairs: DataFrame           # id_a, id_b, intersection, sizes, jaccard
@@ -57,22 +58,62 @@ def shingle_sets_from_conversations(conversations: DataFrame,
 
 
 def dedup_pipeline(transcripts: DataFrame, cfg: DedupConfig,
-                   cache: bool = True) -> DedupResult:
+                   cache: bool = True,
+                   storage_level=None) -> DedupResult:
     """Run the full pipeline lazily; returns every intermediate stage.
 
-    ``cache=True`` persists the two tables used more than once
-    (shingle sets: verify + sizes; signatures: all bands).
+    ``cache=True`` persists the tables used more than once.
+    ``storage_level`` overrides EVERY persist tier in the pipeline,
+    including the candidate fan-out table inside ``candidate_pairs``
+    (default: Spark's MEMORY_AND_DISK). Pass
+    ``pyspark.StorageLevel.DISK_ONLY`` when the deserialized caches
+    exceed executor memory at the smallest cluster size under
+    comparison: a cache that is memory-resident at one cluster size
+    and disk-spilled at another measures storage-tier asymmetry, not
+    compute scaling (BENCH/scaling.py) — pinning everything to one
+    tier keeps per-byte decode cost identical per task.
+
+    On the Arrow path (``cfg.shingle_impl == "arrow"``, the default)
+    shingling and MinHash run as ONE fused Arrow pass and ONE persist:
+    the cached table carries (id, items, set_size, signature), so the
+    element arrays — the widest column — cross the JVM↔Python boundary
+    once instead of twice, and the signature column needs no second
+    cache inside candidate_pairs (functions/shingle_arrow.py:
+    fused_shingle_minhash for the bandwidth arithmetic).
+    ``shingle_sets`` in the result IS that cached table (callers
+    unpersist it); its items/signature values are bit-identical to the
+    two-step path by shared-kernel construction.
     """
     conversations = assemble_conversations(transcripts, cfg.text_separator)
-    sets_df = shingle_sets_from_conversations(conversations, cfg)
-    if cache:
-        sets_df = sets_df.persist()
+    if cfg.shingle_impl == "arrow":
+        from jaccard_ml_spark.functions.shingle_arrow import (
+            fused_shingle_minhash,
+        )
+        fused = fused_shingle_minhash(
+            conversations.select(F.col("conv_id").alias("id"), "text"),
+            "text", cfg.k_shingle, cfg.num_perm, cfg.minhash_seed)
+        if cache:
+            fused = (fused.persist(storage_level) if storage_level
+                     else fused.persist())
+        sets_df = fused
+        signatures = (fused.select("id", "set_size", "signature")
+                      .where(F.col("signature").isNotNull()))
+        sigs_cached = cache
+    else:
+        sets_df = shingle_sets_from_conversations(conversations, cfg)
+        if cache:
+            sets_df = (sets_df.persist(storage_level) if storage_level
+                       else sets_df.persist())
+        signatures = minhash_signatures(sets_df, cfg)
+        sigs_cached = False
 
-    signatures = minhash_signatures(sets_df, cfg)
-    cands = candidate_pairs(signatures, cfg)
+    cands = candidate_pairs(signatures, cfg,
+                            signatures_persisted=sigs_cached,
+                            storage_level=storage_level)
     pairs = verify_pairs(cands, sets_df, cfg.jaccard_threshold)
     if cache:
-        pairs = pairs.persist()
+        pairs = (pairs.persist(storage_level) if storage_level
+                 else pairs.persist())
 
     comps = connected_components(pairs, cfg.cc_max_iterations)
     clusters = assign_clusters(sets_df, comps)
@@ -91,14 +132,27 @@ def dedup_documents(docs: DataFrame, cfg: DedupConfig,
                     id_col: str = "doc_id", text_col: str = "text",
                     cache: bool = True) -> DedupResult:
     """Same pipeline for a flat document table (no assembly stage)."""
-    sets_df = _add_shingles(
-        docs.select(F.col(id_col).alias("id"),
-                    F.col(text_col).alias("text")),
-        cfg).select("id", "items")
-    if cache:
-        sets_df = sets_df.persist()
-    signatures = minhash_signatures(sets_df, cfg)
-    cands = candidate_pairs(signatures, cfg)
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(text_col).alias("text"))
+    if cfg.shingle_impl == "arrow":
+        from jaccard_ml_spark.functions.shingle_arrow import (
+            fused_shingle_minhash,
+        )
+        sets_df = fused_shingle_minhash(base, "text", cfg.k_shingle,
+                                        cfg.num_perm, cfg.minhash_seed)
+        if cache:
+            sets_df = sets_df.persist()
+        signatures = (sets_df.select("id", "set_size", "signature")
+                      .where(F.col("signature").isNotNull()))
+        sigs_cached = cache
+    else:
+        sets_df = _add_shingles(base, cfg).select("id", "items")
+        if cache:
+            sets_df = sets_df.persist()
+        signatures = minhash_signatures(sets_df, cfg)
+        sigs_cached = False
+    cands = candidate_pairs(signatures, cfg,
+                            signatures_persisted=sigs_cached)
     pairs = verify_pairs(cands, sets_df, cfg.jaccard_threshold)
     if cache:
         pairs = pairs.persist()

@@ -25,7 +25,9 @@ external data.
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -223,8 +225,39 @@ def generate_transcripts(
                   allow_truncated_timestamps=True,
                   row_group_size=131072)
     truth.to_parquet(g_path, index=False)
-    return {"transcripts": t_path, "truth_groups": g_path,
+    info = {"transcripts": t_path, "truth_groups": g_path,
             "n_convs": len(truth), "n_turns": len(df)}
+    _write_done_marker(out_dir, info)
+    return info
+
+
+def _write_done_marker(out_dir: str, info: dict) -> None:
+    with open(os.path.join(out_dir, "_GEN_DONE"), "w") as f:
+        json.dump(info, f)
+
+
+def is_generated(out_dir: str) -> bool:
+    """True iff a prior generation of ``out_dir`` ran to completion.
+
+    Both generators makedirs / write multiple files before finishing, so
+    a caller's bare exists() check on the output path mistakes a
+    killed-mid-write generation (empty shard dirs, truncated or missing
+    parquet) for a finished input. The _GEN_DONE marker is written last;
+    harnesses must gate their regenerate-or-reuse decision on it and
+    wipe the directory before regenerating.
+    """
+    return os.path.exists(os.path.join(out_dir, "_GEN_DONE"))
+
+
+def ensure_generated(out_dir: str, gen_fn, **kwargs) -> dict:
+    """Idempotent generate-once: reuse a completed output, wipe+rebuild
+    a partial one. ``gen_fn`` is one of the generate_transcripts*
+    functions; kwargs are passed through."""
+    if is_generated(out_dir):
+        with open(os.path.join(out_dir, "_GEN_DONE")) as f:
+            return json.load(f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return gen_fn(out_dir, **kwargs)
 
 
 def _write_shard(args: tuple) -> tuple[int, int]:
@@ -287,9 +320,11 @@ def generate_transcripts_sharded(
                       min_turns, max_turns, s * per_shard))
     with mp.Pool(processes or min(len(tasks), os.cpu_count() or 4)) as pool:
         counts = pool.map(_write_shard, tasks)
-    return {
+    info = {
         "transcripts": os.path.join(out_dir, "transcripts.parquet"),
         "truth_groups": os.path.join(out_dir, "truth_groups.parquet"),
         "n_convs": sum(c for c, _ in counts),
         "n_turns": sum(t for _, t in counts),
     }
+    _write_done_marker(out_dir, info)
+    return info
