@@ -159,6 +159,13 @@ else:
     total_cores = n_exec
     extra = {}
 
+# ad-hoc conf experiments (e.g. shuffle codec) without editing the
+# harness: SCALING_EXTRA_CONF="k1=v1,k2=v2" — applied at BOTH levels
+for kv in os.environ.get("SCALING_EXTRA_CONF", "").split(","):
+    if "=" in kv:
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
+
 spark = get_spark(master=master,
                   shuffle_partitions=max(total_cores * 2, 8),
                   app_name=f"scaling-{mode}-{n_exec}", extra_conf=extra)

@@ -55,6 +55,12 @@ def run(level: int, tx_path: str) -> None:
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": f"file://{ev_dir}",
     }
+    # ad-hoc conf experiments (e.g. shuffle codec) without editing the
+    # harness: SCALING_EXTRA_CONF="k1=v1,k2=v2"
+    for kv in os.environ.get("SCALING_EXTRA_CONF", "").split(","):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            extra[k.strip()] = v.strip()
     spark = get_spark(master=f"local-cluster[{level},4,{mem_mb}]",
                       shuffle_partitions=max(level * 8, 8),
                       app_name=f"diag-{level}", extra_conf=extra)

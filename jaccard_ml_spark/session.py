@@ -61,6 +61,15 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # zstd shuffle/IO compression: this pipeline's dominant shuffle
+        # columns are int64 hash arrays, where zstd-1 out-compresses
+        # lz4 enough that the byte savings beat the extra compress CPU
+        # at EVERY cluster size measured — 45M-turn two-level record:
+        # N 721→689s, 4N 288→253s (BENCH/scaling_runs.json; the wide
+        # level gains more because shuffle bytes are the scarce shared
+        # resource there). Standard practice for shuffle-heavy
+        # workloads at the 100-TB tier.
+        "spark.io.compression.codec": "zstd",
         # transcripts at 10^12-turn scale arrive as many small-ish files;
         # 128 MiB split targets keep scan tasks balanced.
         "spark.sql.files.maxPartitionBytes": "134217728",
