@@ -593,7 +593,8 @@ to minute and hits the wide 4N level hardest — and it also turns
 2-10× slow in bursts steal does NOT register (measured: steal 3.8%
 while the fixed CPU+memory calibration probe ran 25 s vs the
 quiet-host 2.5 s). Each run is therefore gated twice: a round starts
-only when steal ≤ 5% AND the probe is within 1.25× of the session
+only when steal ≤ 5% AND the probe is within
+{os.environ.get('SCALING_PROBE_SLACK', '1.25')}× of the session
 best, and a run whose POST-run probe exceeds 2× the session best
 (weather turned mid-run) is discarded and re-taken (sampled steal
 before→after the best run: N {rlo.get('pre_steal', 0):.1%} →
@@ -634,6 +635,35 @@ window).
 Phase split of the best runs (candidates+verify vs clustering):
 N pairs {rlo['pairs_sec']}s / cc {rlo['cc_sec']}s;
 4N pairs {rhi['pairs_sec']}s / cc {rhi['cc_sec']}s.
+
+## Where the residual gap lives (round-4 measurements)
+
+The r4 gap to 1.0 was localized, one variable at a time (full ladder
+with raw samples: SCALE_NOTES.md "config ladder" + per-config
+`BENCH/scaling_runs_r4_*.json`):
+
+- **Stage-level profile** (`BENCH/stage_diag.py`, Spark event logs
+  parsed at both levels): no serial stage, no skew tail — the
+  non-scaling time sits in the two stages that move the most bytes
+  (fused shingle+MinHash pass; verify join), whose TOTAL CPU demand
+  inflates 37-42% at 4N.
+- **Single-box DRAM ceiling, measured outside Spark**: this host's
+  memory bandwidth scales 16.8 → 47.5 GB/s from 4 → 16 concurrent
+  streams — per-stream throughput at the 4N level is 71% of the N
+  level's before Spark runs a single task. A real 4-node cluster
+  adds bandwidth with every node; this sandbox splits one box's.
+- **Interventions that worked**: fusing the two Arrow UDF passes
+  (eff 0.487 → 0.626) and zstd shuffle compression (0.626 → 0.682+,
+  Pareto-faster at BOTH levels) — each reduces bytes moved, the
+  scarce resource. Interventions that did NOT work: smaller heaps
+  (capacity relief, eff down to 0.587), compressing the multi-scan
+  DISK_ONLY cache (4N 1.7× slower — per-scan decode), capping JVM GC
+  threads to the core quota (30-50× GC inflation). The pattern —
+  byte-reduction helps, everything else doesn't — is exactly what a
+  shared-bandwidth ceiling predicts.
+- **Scale dependence**: at 11.2M turns the same code measured
+  eff 0.757 (stage_diag, pre-zstd); at 45M turns aggregate traffic
+  per wall-second is ~4× higher against the same fixed box budget.
 
 ## Dup-pair recall vs oracle
 

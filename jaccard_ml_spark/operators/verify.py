@@ -25,15 +25,38 @@ def verify_pairs(
     id_col: str = "id",
     items_col: str = "items",
     keep_below_threshold: bool = False,
+    semi_filter: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) candidates → (id_a, id_b, intersection, size_a, size_b,
     jaccard), filtered to jaccard ≥ threshold unless asked otherwise.
 
     fp64 division; the reference's fp32 + 1e-3 tolerance
     (src/utils.cuh:655) is strictly looser.
+
+    ``semi_filter`` (default OFF) is a semi-join reduction on the
+    sets side: only rows whose id appears in some candidate pair can
+    match the inner join, so broadcasting the candidate-id set
+    (8 B/id) as a leftsemi filter shrinks the sets-side exchange and
+    both sort-merge sorts to the surviving fraction (~33% of the
+    corpus at 45M turns). Measured OFF-by-default because in THIS
+    pipeline it loses: the candidate table is an uncached subtree
+    (pairing + distinct over the persisted bucket table), and feeding
+    it to both the broadcast and the join evaluates it twice — 45M-turn
+    A/B at 16 cores: 248s off vs 327s on (SCALE_NOTES.md). Turn it on
+    when candidates are cheap or tiny relative to the sets table —
+    e.g. decontamination-style probes of a huge corpus with a small
+    eval set — and note plain id-broadcast stops fitting at ~10^9
+    candidate ids (use the bucketed/checkpointed sets table instead,
+    whose co-located join removes the exchange the filter would
+    shrink).
     """
     sets = sets_df.select(F.col(id_col).alias("_vid"),
                           F.col(items_col).alias("_vitems"))
+    if semi_filter:
+        cand_ids = (pairs.select(F.col("id_a").alias("_vid"))
+                    .unionAll(pairs.select(F.col("id_b").alias("_vid")))
+                    .distinct())
+        sets = sets.join(F.broadcast(cand_ids), "_vid", "leftsemi")
 
     joined = (
         pairs

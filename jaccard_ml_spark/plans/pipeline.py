@@ -110,7 +110,8 @@ def dedup_pipeline(transcripts: DataFrame, cfg: DedupConfig,
     cands = candidate_pairs(signatures, cfg,
                             signatures_persisted=sigs_cached,
                             storage_level=storage_level)
-    pairs = verify_pairs(cands, sets_df, cfg.jaccard_threshold)
+    pairs = verify_pairs(cands, sets_df, cfg.jaccard_threshold,
+                         semi_filter=cfg.verify_semi_filter)
     if cache:
         pairs = (pairs.persist(storage_level) if storage_level
                  else pairs.persist())
@@ -153,7 +154,8 @@ def dedup_documents(docs: DataFrame, cfg: DedupConfig,
         sigs_cached = False
     cands = candidate_pairs(signatures, cfg,
                             signatures_persisted=sigs_cached)
-    pairs = verify_pairs(cands, sets_df, cfg.jaccard_threshold)
+    pairs = verify_pairs(cands, sets_df, cfg.jaccard_threshold,
+                         semi_filter=cfg.verify_semi_filter)
     if cache:
         pairs = pairs.persist()
     comps = connected_components(pairs, cfg.cc_max_iterations)

@@ -1,0 +1,61 @@
+"""The verify-join semi-filter must be a pure byte-reduction: only ids
+present in some candidate pair can survive the inner join, so
+pre-filtering the sets side (broadcast leftsemi on the candidate-id
+set) must not change a single output row.
+
+It is OFF by default — a 45M-turn A/B measured it 32% slower in the
+LSH pipeline because the uncached candidate subtree evaluates twice
+(SCALE_NOTES.md; docstring in operators/verify.py) — but the
+semantics are asserted here so the selective-probe regimes that DO
+enable it stay correct.
+
+Reference analog: the probe-side compaction before the intersection
+kernels (/root/reference/src/edge_metrics.cu probe build) — only
+vertices on some edge enter the probe structure.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from jaccard_ml_spark.operators.verify import verify_pairs
+
+
+@pytest.fixture(scope="module")
+def fixture_dfs(spark):
+    sets = spark.createDataFrame(
+        [(i, sorted({(i * 7 + j) % 40 for j in range(12)}))
+         for i in range(50)],
+        "id long, items array<long>")
+    # candidates touch only 8 of the 50 ids
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8), (1, 8)],
+        "id_a long, id_b long")
+    return sets, cands
+
+
+def test_semi_filter_identical_rows(fixture_dfs):
+    sets, cands = fixture_dfs
+    on = verify_pairs(cands, sets, 0.0, semi_filter=True,
+                      keep_below_threshold=True).collect()
+    off = verify_pairs(cands, sets, 0.0, semi_filter=False,
+                       keep_below_threshold=True).collect()
+    key = lambda r: (r.id_a, r.id_b)
+    assert sorted(on, key=key) == sorted(off, key=key)
+    assert len(on) == 5
+
+
+def test_semi_filter_plan_broadcasts_candidate_ids(fixture_dfs):
+    sets, cands = fixture_dfs
+    plan = (verify_pairs(cands, sets, 0.5, semi_filter=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_semi_filter_off_has_no_semi_join(fixture_dfs):
+    sets, cands = fixture_dfs
+    plan = (verify_pairs(cands, sets, 0.5, semi_filter=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" not in plan
