@@ -75,7 +75,12 @@ def main() -> None:
         corpus_tx = tx.where(F.col("conv_id") < f"conv-{k:08d}")
         standing = incremental_dedup(corpus_tx, None, None, cfg)
         store = CheckpointStore(spark, f"/tmp/curve_ckpt_{k}", "curve")
-        prior_sets = store.write("sets", standing["sets"])
+        # standing sets bucketed+sorted by id — the Iceberg
+        # bucket(N, id) layout of the production pair-verify side
+        # (VERDICT r4 item 4): the per-batch verify reads the corpus
+        # through this checkpoint, scan-only, never shuffled
+        prior_sets = store.write_bucketed("sets", standing["sets"],
+                                          ["id"], sort_cols=["id"])
         prior_sigs = store.write("sigs", standing["sigs"])
         prior_buckets = store.write_bucketed(
             "buckets", standing["buckets"], ["band_id", "bucket_hash"])

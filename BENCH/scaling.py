@@ -63,6 +63,14 @@ from jaccard_ml_spark.plans.pipeline import dedup_pipeline
 # which tier a run actually used).
 CACHE_LEVEL = (None if os.environ.get("SCALING_CACHE_LEVEL") == "memory"
                else StorageLevel.DISK_ONLY)
+# SCALING_BUCKETED_SETS=1: the fused sets table is CHECKPOINTED
+# bucketed+sorted by id (plans/checkpoint.write_bucketed — the Iceberg
+# bucket(N, id) stand-in) instead of persisted, so verify's two joins
+# and the cluster assignment read the fat side with NO exchange (the
+# production layout named in operators/verify.py:49-51). The bucketed
+# write replaces the cache materialization in the same timed window —
+# the A/B measures (+1 bucketed parquet write) vs (−2 fat exchanges).
+BUCKETED = os.environ.get("SCALING_BUCKETED_SETS", "0") == "1"
 from jaccard_ml_spark.session import get_spark
 from jaccard_ml_spark.sources.tables import read_transcripts
 
@@ -166,6 +174,15 @@ for kv in os.environ.get("SCALING_EXTRA_CONF", "").split(","):
         k, _, v = kv.partition("=")
         extra[k.strip()] = v.strip()
 
+if BUCKETED:
+    # bucketed checkpoints need a catalog (bucket metadata lives
+    # there); keep derby + warehouse off the repo tree and identical
+    # at both levels
+    extra.setdefault("spark.sql.warehouse.dir", "/tmp/scaling_warehouse")
+    extra.setdefault(
+        "javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=/tmp/scaling_metastore_db;create=true")
+
 spark = get_spark(master=master,
                   shuffle_partitions=max(total_cores * 2, 8),
                   app_name=f"scaling-{mode}-{n_exec}", extra_conf=extra)
@@ -231,17 +248,32 @@ tx.count()   # warm tmpfs metadata; data itself is RAM-backed
 # N times the one-off warmup, a pure measurement artifact at
 # minutes-long run lengths. The sample drives the same code paths
 # (UDFs, joins, CC) at ~1/MOD the cost of the old full cold iteration.
+ckpt_root = stage_root + f"/scaling_ckpt_{mode}_{n_exec}"
+# n_buckets for the bucketed-sets variant = the data-scaled partition
+# count above — identical at both levels AND equal to the shuffle
+# partition count, so the slim pair side co-partitions with the
+# bucketed scan without a second exchange
+def make_store(tag):
+    from jaccard_ml_spark.plans.checkpoint import CheckpointStore
+    return CheckpointStore(spark, ckpt_root + "/" + tag,
+                           run_id=f"{tag}{n_exec}")
+
 warm_mod = int(os.environ.get("SCALING_WARMUP_MOD", "8"))
 t_w0 = time.monotonic()
 if warm_mod > 0:
     sample = tx.where(F.pmod(F.xxhash64("conv_id"), F.lit(warm_mod)) == 0)
-    wres = dedup_pipeline(sample, DedupConfig(), storage_level=CACHE_LEVEL)
+    wres = dedup_pipeline(sample, DedupConfig(), storage_level=CACHE_LEVEL,
+                          sets_store=make_store("warm") if BUCKETED
+                          else None, sets_buckets=parts)
     wres.pairs.count(); wres.clusters.count()
     wres.shingle_sets.unpersist(); wres.pairs.unpersist()
+    shutil.rmtree(ckpt_root + "/warm", ignore_errors=True)
 warmup_sec = time.monotonic() - t_w0
 
 t0 = time.monotonic()
-res = dedup_pipeline(tx, DedupConfig(), storage_level=CACHE_LEVEL)
+res = dedup_pipeline(tx, DedupConfig(), storage_level=CACHE_LEVEL,
+                     sets_store=make_store("run") if BUCKETED else None,
+                     sets_buckets=parts)
 n_pairs = res.pairs.count()
 pairs_sec = time.monotonic() - t0
 res.clusters.count()
@@ -267,6 +299,7 @@ pair_sig = sorted((r.id_a, r.id_b) for r in
 clus_sig = sorted((r.id, r.cluster_id) for r in res.clusters.collect())
 rhash = hashlib.sha256(repr((pair_sig, clus_sig)).encode()).hexdigest()[:16]
 res.shingle_sets.unpersist(); res.pairs.unpersist()
+shutil.rmtree(ckpt_root, ignore_errors=True)
 
 print("RESULT " + json.dumps({
     "level": n_exec, "master": master, "turns": n_turns, "pairs": n_pairs,
@@ -275,6 +308,7 @@ print("RESULT " + json.dumps({
     "warmup_sec": round(warmup_sec, 2),
     "turns_per_sec": round(n_turns / wall, 1),
     "cache_mem_mb": cache_mem_mb, "cache_disk_mb": cache_disk_mb,
+    "bucketed_sets": BUCKETED,
     "result_hash": rhash,
 }))
 spark.stop()
@@ -485,22 +519,24 @@ def main() -> None:
     if seed_probe > 0:
         wait_for_quiet_host._best_probe = seed_probe
 
-    runs_path = os.path.join(REPO, "BENCH", "scaling_runs.json")
+    runs_path = os.environ.get("SCALING_RUNS_FILE") or os.path.join(
+        REPO, "BENCH", "scaling_runs.json")
     # merge-load: samples from prior (killed / deadlined / separate)
     # harness sessions accumulate instead of being overwritten — the
     # whole point of incremental persistence on a co-tenant host where
-    # any given session may be cut short.
-    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    # any given session may be cut short. ALL loaded samples are kept
+    # in the persisted file (ADVICE r4: the old code rewrote the file
+    # with only the current-input subset, permanently deleting samples
+    # of any other SCALING_N_CONVS); the same-input/same-config filter
+    # is applied only to the in-session view the report and the
+    # cross-level hash assert use.
+    all_runs: dict[int, list[dict]] = {lo: [], hi: []}
     if os.path.exists(runs_path):
         with open(runs_path) as f:
             for k, v in json.load(f).items():
-                # merge only samples of the SAME input: a smoke run at a
-                # smaller SCALING_N_CONVS would otherwise mix into the
-                # report's best/mean and trip the cross-level hash assert
-                same_input = [r for r in v
-                              if abs(r.get("turns", 0) - n_convs * 7.8)
-                              < n_convs * 1.0]
-                runs.setdefault(int(k), []).extend(same_input)
+                all_runs.setdefault(int(k), []).extend(v)
+    runs = {k: [r for r in v if _same_config(r, n_convs)]
+            for k, v in all_runs.items()}
     # hi level first: it is ~4x shorter, and on a host where quiet
     # windows are scarce (r3 lost its whole measurement to co-tenant
     # weather) the cheapest missing sample should claim the first
@@ -509,15 +545,33 @@ def main() -> None:
     for rnd in range(rounds):
         for level, cores in ((hi, cores_hi), (lo, cores_lo)):
             r = run_gated(level, cores, rnd)
+            r["n_convs"] = n_convs
             runs[level].append(r)
+            all_runs[level].append(r)
             # incremental persistence: a killed/deadlined harness still
             # leaves every completed sample on disk
             with open(runs_path, "w") as f:
-                json.dump({str(k): v for k, v in runs.items()}, f,
+                json.dump({str(k): v for k, v in all_runs.items()}, f,
                           indent=2)
             assert r["result_hash"] == runs[level][0]["result_hash"]
 
     write_report(runs, mode, lo, hi, n_convs)
+
+
+def _same_config(r: dict, n_convs: int) -> bool:
+    """True iff a persisted sample measures the same input AND pipeline
+    variant as the current session, so it may enter the report's
+    best/mean. Input match: the recorded n_convs (exact); legacy
+    samples predate that field and fall back to a turns-per-conv
+    heuristic (~7.8 at the generator's default min/max_turns — brittle
+    if those change, which is why new samples record n_convs). Config
+    match: the bucketed-sets flag (absent = False on legacy samples)."""
+    if r.get("n_convs") is not None:
+        same_input = r["n_convs"] == n_convs
+    else:
+        same_input = abs(r.get("turns", 0) - n_convs * 7.8) < n_convs * 1.0
+    bucketed = os.environ.get("SCALING_BUCKETED_SETS", "0") == "1"
+    return same_input and bool(r.get("bucketed_sets", False)) == bucketed
 
 
 def write_report(runs: dict, mode: str, lo: int, hi: int,
@@ -678,12 +732,15 @@ pinned config on the planted-duplicate fixtures at two seeds).
 
 
 def report_only() -> None:
-    with open(os.path.join(REPO, "BENCH", "scaling_runs.json")) as f:
+    path = os.environ.get("SCALING_RUNS_FILE") or os.path.join(
+        REPO, "BENCH", "scaling_runs.json")
+    with open(path) as f:
         raw = json.load(f)
-    runs = {int(k): v for k, v in raw.items()}
+    n_convs = int(os.environ.get("SCALING_N_CONVS", "5760000"))
+    runs = {int(k): [r for r in v if _same_config(r, n_convs)]
+            for k, v in raw.items()}
     lo, hi = sorted(runs)
     mode = os.environ.get("SCALING_MODE", "local-cluster")
-    n_convs = int(os.environ.get("SCALING_N_CONVS", "5760000"))
     write_report(runs, mode, lo, hi, n_convs)
 
 

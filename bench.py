@@ -183,7 +183,7 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     polluted = sorted(n for n, rec in weather.items() if rec["polluted"])
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -196,7 +196,14 @@ def main() -> None:
         "probe_best": round(w.best, 3),
         "polluted_queries": polluted,
         "run_clean": not polluted,
-    }))
+    }
+    # the stdout JSON line is the driver contract, but Spark progress
+    # bars / late log lines make a stdout-tail parse fragile
+    # (BENCH_r04.json recorded parsed: null for a successful run) — the
+    # file is the self-contained source of truth for the same record
+    with open(os.path.join(REPO, "BENCH", "bench_last.json"), "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record))
     spark.stop()
 
 

@@ -59,7 +59,9 @@ def shingle_sets_from_conversations(conversations: DataFrame,
 
 def dedup_pipeline(transcripts: DataFrame, cfg: DedupConfig,
                    cache: bool = True,
-                   storage_level=None) -> DedupResult:
+                   storage_level=None,
+                   sets_store=None,
+                   sets_buckets: int | None = None) -> DedupResult:
     """Run the full pipeline lazily; returns every intermediate stage.
 
     ``cache=True`` persists the tables used more than once.
@@ -83,18 +85,63 @@ def dedup_pipeline(transcripts: DataFrame, cfg: DedupConfig,
     ``shingle_sets`` in the result IS that cached table (callers
     unpersist it); its items/signature values are bit-identical to the
     two-step path by shared-kernel construction.
+
+    ``cache=False`` on the Arrow path falls back to the TWO-STEP
+    formulation (separate shingle + MinHash UDF passes, bit-identical
+    outputs by shared kernels): an unpersisted fused table would feed
+    verify's two join sides and assign_clusters, re-running shingle AND
+    MinHash once per consumer, where the two-step uncached plan re-runs
+    only the shingle UDF for the verify sides (the fused pass exists to
+    save a JVM↔Python round trip, which only pays off when its output
+    is materialized exactly once).
+
+    ``sets_store`` (a ``plans.checkpoint.CheckpointStore``) replaces
+    the in-memory persist of the fused sets table with a CHECKPOINT
+    bucketed+sorted by id (``write_bucketed``; on Iceberg:
+    ``bucket(N, id)`` partition transform + sort order) of
+    ``sets_buckets`` buckets (default: the session's shuffle-partition
+    count, so the slim pair side co-partitions with the buckets
+    without a second exchange). Every downstream consumer then reads
+    the bucketed table in place of the cache: verify's two sort-merge
+    joins on id_a/id_b read the FAT side (the shingle arrays — the
+    widest rows in the pipeline) WITHOUT an exchange, as do the
+    mega-bucket signature join and the final cluster assignment —
+    only the slim pair side shuffles. The checkpoint write replaces
+    the cache materialization byte-for-byte (same columns, same
+    moment), so the trade is: +1 bucketed parquet write of the fused
+    table, −2 full exchanges of it. Construction becomes EAGER (the
+    checkpoint is written when this function runs). This is the
+    production verify layout flagged in operators/verify.py:49-51 and
+    SURVEY §P8 (reference analog: the degree-sort data layout pass,
+    /root/reference/src/utils.cuh:406-492).
     """
     conversations = assemble_conversations(transcripts, cfg.text_separator)
-    if cfg.shingle_impl == "arrow":
+    if cfg.shingle_impl == "arrow" and sets_store is not None:
         from jaccard_ml_spark.functions.shingle_arrow import (
             fused_shingle_minhash,
         )
         fused = fused_shingle_minhash(
             conversations.select(F.col("conv_id").alias("id"), "text"),
             "text", cfg.k_shingle, cfg.num_perm, cfg.minhash_seed)
-        if cache:
-            fused = (fused.persist(storage_level) if storage_level
-                     else fused.persist())
+        n_buckets = sets_buckets or int(
+            sets_store.spark.conf.get("spark.sql.shuffle.partitions"))
+        sets_df = sets_store.write_bucketed(
+            "fused_sets", fused, ["id"], n_buckets=n_buckets,
+            sort_cols=["id"])
+        signatures = (sets_df.select("id", "set_size", "signature")
+                      .where(F.col("signature").isNotNull()))
+        # the checkpoint IS the materialization: scans of it never
+        # re-run the UDF, so candidate_pairs must not re-persist
+        sigs_cached = True
+    elif cfg.shingle_impl == "arrow" and cache:
+        from jaccard_ml_spark.functions.shingle_arrow import (
+            fused_shingle_minhash,
+        )
+        fused = fused_shingle_minhash(
+            conversations.select(F.col("conv_id").alias("id"), "text"),
+            "text", cfg.k_shingle, cfg.num_perm, cfg.minhash_seed)
+        fused = (fused.persist(storage_level) if storage_level
+                 else fused.persist())
         sets_df = fused
         signatures = (fused.select("id", "set_size", "signature")
                       .where(F.col("signature").isNotNull()))
@@ -132,10 +179,15 @@ def dedup_pipeline(transcripts: DataFrame, cfg: DedupConfig,
 def dedup_documents(docs: DataFrame, cfg: DedupConfig,
                     id_col: str = "doc_id", text_col: str = "text",
                     cache: bool = True) -> DedupResult:
-    """Same pipeline for a flat document table (no assembly stage)."""
+    """Same pipeline for a flat document table (no assembly stage).
+
+    Like ``dedup_pipeline``, ``cache=False`` drops the fused Arrow pass
+    back to the two-step formulation — an unpersisted fused table would
+    re-run BOTH UDF kernels once per downstream consumer.
+    """
     base = docs.select(F.col(id_col).alias("id"),
                        F.col(text_col).alias("text"))
-    if cfg.shingle_impl == "arrow":
+    if cfg.shingle_impl == "arrow" and cache:
         from jaccard_ml_spark.functions.shingle_arrow import (
             fused_shingle_minhash,
         )

@@ -251,13 +251,30 @@ def is_generated(out_dir: str) -> bool:
 
 def ensure_generated(out_dir: str, gen_fn, **kwargs) -> dict:
     """Idempotent generate-once: reuse a completed output, wipe+rebuild
-    a partial one. ``gen_fn`` is one of the generate_transcripts*
-    functions; kwargs are passed through."""
+    a partial OR differently-parameterized one. ``gen_fn`` is one of
+    the generate_transcripts* functions; kwargs are passed through.
+
+    The _GEN_DONE marker records the generation kwargs: a caller that
+    re-targets the same out_dir with a different seed / fracs /
+    n_shards / n_convs gets a wipe+regenerate instead of silently
+    reading the stale dataset (callers like bench.py encode only
+    n_convs in the path). Only the kwargs actually PASSED are compared
+    — a caller that starts passing a previously-defaulted kwarg at its
+    default value triggers one redundant (deterministic, identical)
+    regeneration rather than a wrong reuse. Markers from before this
+    check (no gen_kwargs recorded) are treated as mismatched."""
+    marker = os.path.join(out_dir, "_GEN_DONE")
+    want = {k: v for k, v in sorted(kwargs.items())}
     if is_generated(out_dir):
-        with open(os.path.join(out_dir, "_GEN_DONE")) as f:
-            return json.load(f)
+        with open(marker) as f:
+            info = json.load(f)
+        if info.get("gen_kwargs") == want:
+            return info
     shutil.rmtree(out_dir, ignore_errors=True)
-    return gen_fn(out_dir, **kwargs)
+    info = gen_fn(out_dir, **kwargs)
+    info["gen_kwargs"] = want
+    _write_done_marker(out_dir, info)
+    return info
 
 
 def _write_shard(args: tuple) -> tuple[int, int]:

@@ -197,10 +197,24 @@ def incremental_dedup(
         cand_ids = (cands.select(F.col("id_a").alias("id"))
                     .unionByName(cands.select(F.col("id_b").alias("id")))
                     .distinct())
+        # persisted: verify joins this table TWICE (id_a and id_b
+        # sides) and each unpersisted read re-scans the whole standing
+        # sets table behind the semi filter — the last
+        # corpus-proportional term the r4 curve left (the filter made
+        # the corpus scan-only, but it was still scanned once per
+        # consumer). Delta-neighborhood-sized, like cands.
         verify_sets = all_sets.join(F.broadcast(cand_ids), "id",
-                                    "left_semi")
+                                    "left_semi").persist()
+        _PERSISTED.append(verify_sets)
 
     new_pairs = verify_pairs(cands, verify_sets, cfg.jaccard_threshold)
+    if prior_sets is not None:
+        # new_pairs feeds ≥4 plan branches (the pairs union, the
+        # touched-id set, the batch-local CC input, and each
+        # materialization of comps/clusters) — unpersisted, every
+        # branch re-runs the verify joins. Delta-sized.
+        new_pairs = new_pairs.persist()
+        _PERSISTED.append(new_pairs)
     if prior_pairs is None:
         pairs = new_pairs
         surviving_prior = None

@@ -83,16 +83,53 @@ def test_fused_pipeline_caches_once(spark):
     spark.catalog.clearCache()
     res = dedup_documents(docs, CFG)
     res.pairs.count()
-    jsc = spark.sparkContext._jsc.sc()
-    names = [i.name() or "" for i in jsc.getRDDStorageInfo()]
-    # exactly ONE cache is rooted at the Python stage (the fused
-    # MapInPandas table); the two-step path cached the UDF output
-    # twice — sets (ArrowEvalPython shingles) AND signatures
-    # (ArrowEvalPython minhash over the sets scan)
-    python_caches = [n for n in names
-                     if "MapInPandas" in n or "EvalPython" in n
-                     or "pythonUDF" in n]
-    assert len(python_caches) == 1, names
+
+    # Count the cached relations reachable from the pair plan whose
+    # OWN materialization runs a Python/Arrow exec node (traversal
+    # stops at nested cache boundaries — a downstream cache that merely
+    # SCANS the fused cache, like candidate_pairs' grouped-bucket
+    # table, references its plan text but runs no UDF itself; the old
+    # RDD-name string match counted those too on some Spark versions).
+    # Exactly ONE such cache must exist: the fused MapInPandas table.
+    # The two-step path cached the UDF output twice — sets (shingles)
+    # AND signatures (minhash over the sets scan).
+    PY_EXECS = ("MapInPandasExec", "ArrowEvalPythonExec",
+                "BatchEvalPythonExec")
+
+    def _runs_python(node) -> bool:
+        name = node.getClass().getSimpleName()
+        if name == "InMemoryTableScanExec":
+            return False  # another cache's job, not this one's
+        if name in PY_EXECS:
+            return True
+        if name == "AdaptiveSparkPlanExec":
+            return _runs_python(node.inputPlan())
+        it = node.children().iterator()
+        while it.hasNext():
+            if _runs_python(it.next()):
+                return True
+        return False
+
+    python_caches: dict[int, bool] = {}
+
+    def _walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "InMemoryTableScanExec":
+            cached = node.relation().cachedPlan()
+            if cached.id() not in python_caches:
+                python_caches[cached.id()] = _runs_python(cached)
+                _walk(cached)
+            return
+        if name == "AdaptiveSparkPlanExec":
+            _walk(node.inputPlan())
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            _walk(it.next())
+
+    _walk(res.pairs._jdf.queryExecution().executedPlan())
+    n_python = sum(1 for v in python_caches.values() if v)
+    assert n_python == 1, python_caches
     res.shingle_sets.unpersist()
     res.pairs.unpersist()
     spark.catalog.clearCache()

@@ -49,3 +49,70 @@ def test_block_join_is_exact_within_radius(spark):
     got = {(r.id_a, r.id_b)
            for r in simhash_near_pairs(fps_df, CFG).collect()}
     assert got == brute
+
+
+def test_simhash64_differential_oracle_on_fixture_docs(spark):
+    """VERDICT r4 item 5: the 64-bit path gets a real differential
+    oracle. The driver's DuckDB cannot express the engine's xxhash
+    family, but this harness is Python: recompute the 64-bit
+    fingerprints DRIVER-SIDE with an independent per-row
+    implementation (same seeded parameter derivation as
+    functions/hashing.simhash_udf, naive per-element bit-vote loop —
+    NOT the flattened reduceat kernel), enumerate the Hamming ball
+    brute-force, and assert equality with the distributed
+    simhash_near_pairs output over the driver fixture documents
+    (reference analog: example_values/py_calc_values.txt hand-parity).
+    Covers both the flattened kernel and the pigeonhole block join."""
+    import itertools
+    import os
+
+    import numpy as np
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL",
+                            "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets_df = docs.select(
+        F.col("doc_id").alias("id"),
+        shingle_hashes(F.col("text"), CFG.k_shingle).alias("items"),
+    ).where(F.size("items") > 0)
+
+    # driver-side oracle: same parameter derivation as simhash_udf
+    # (hashing.py), independent per-row vote computation
+    rng = np.random.default_rng(CFG.minhash_seed + 1)
+    mix = np.uint64(rng.integers(1, 2**63, dtype=np.uint64) * 2 + 1)
+    add = np.uint64(rng.integers(0, 2**63, dtype=np.uint64))
+
+    M64 = 0xFFFFFFFFFFFFFFFF
+
+    def fingerprint(items: list[int]) -> int:
+        # pure-Python big-int arithmetic masked to 64 bits — no numpy
+        # in the oracle's hot path, so the wraparound semantics are
+        # independently (re-)implemented, not shared with the kernel
+        fp = 0
+        xs = [((v & M64) * int(mix) + int(add)) & M64 for v in items]
+        for b in range(CFG.simhash_bits):
+            votes = sum(1 if (x >> b) & 1 else -1 for x in xs)
+            if votes > 0:
+                fp |= 1 << b
+        return fp
+
+    rows = sets_df.collect()
+    oracle_fp = {r.id: fingerprint(list(r.items)) for r in rows}
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    brute = {
+        (a, b): ham(oracle_fp[a], oracle_fp[b])
+        for a, b in itertools.combinations(sorted(oracle_fp), 2)
+        if ham(oracle_fp[a], oracle_fp[b]) <= CFG.simhash_hamming_max
+    }
+
+    fps_df = simhash_fingerprints(sets_df, CFG)
+    # fingerprints themselves match bit-for-bit (signed ↔ unsigned view)
+    got_fp = {r.id: r.simhash & 0xFFFFFFFFFFFFFFFF
+              for r in fps_df.collect()}
+    assert got_fp == oracle_fp
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_near_pairs(fps_df, CFG).collect()}
+    assert got == brute
