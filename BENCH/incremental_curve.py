@@ -83,7 +83,8 @@ def main() -> None:
                                           ["id"], sort_cols=["id"])
         prior_sigs = store.write("sigs", standing["sigs"])
         prior_buckets = store.write_bucketed(
-            "buckets", standing["buckets"], ["band_id", "bucket_hash"])
+            "buckets", standing["buckets"], ["band_id", "bucket_hash"],
+            sort_cols=["band_id", "bucket_hash"])
         prior_pairs = store.write("pairs", standing["pairs"])
         prior_components = store.write("components", standing["components"])
         n_standing_pairs = prior_pairs.count()

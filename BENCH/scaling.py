@@ -613,6 +613,14 @@ def write_report(runs: dict, mode: str, lo: int, hi: int,
     print(json.dumps(report, indent=2))
 
     unit = ("executors" if mode == "local-cluster" else "task threads")
+    bucketed = bool(rlo.get("bucketed_sets", False))
+    variant = ("**bucketed-sets** — the fused sets table is checkpointed "
+               "bucketed+sorted by id (Iceberg `bucket(N, id)` stand-in, "
+               "`plans/checkpoint.write_bucketed`); verify's two joins and "
+               "the cluster assignment read the fat side with NO exchange"
+               if bucketed else
+               "**persisted-cache** — the fused sets table is persisted "
+               "(DISK_ONLY on tmpfs) and verify sort-merge-exchanges it")
 
     def row(level, r):
         mu, sp = mean_spread(level)
@@ -660,6 +668,11 @@ efficiency gate uses each level's BEST round (least-contended
 sample); the mean ± spread over rounds is reported alongside per the
 reference's mean-over-runs protocol (src/main.cu:103-108). Raw
 per-run samples: BENCH/scaling_runs.json.
+
+Pipeline variant measured here: {variant}. Samples of the other
+variant (if any) remain in BENCH/scaling_runs.json keyed by their
+`bucketed_sets` flag; the report filters to one variant so the two
+levels always measure the identical job.
 
 Shuffle dirs are tmpfs (`/dev/shm`): the VM's single co-tenant virtio
 disk is shared by all executors — writeback throttling inflated

@@ -53,6 +53,13 @@ def verify_pairs(
     sets = sets_df.select(F.col(id_col).alias("_vid"),
                           F.col(items_col).alias("_vitems"))
     if semi_filter:
+        # The candidate subtree feeds BOTH the broadcast id-set and the
+        # join's probe side; unpersisted it evaluates twice — the
+        # measured reason this filter lost its 45M A/B. Persist unless
+        # the caller already did (pairs.storageLevel.useMemory/useDisk).
+        lvl = pairs.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            pairs = pairs.persist()
         cand_ids = (pairs.select(F.col("id_a").alias("_vid"))
                     .unionAll(pairs.select(F.col("id_b").alias("_vid")))
                     .distinct())

@@ -131,11 +131,16 @@ def incremental_dedup(
         all_sigs = new_sigs
         old_buckets = None
     else:
-        # MERGE INTO semantics: new conv_ids replace old rows
-        surviving_old_sets = prior_sets.join(new_ids, "id", "left_anti")
+        # MERGE INTO semantics: new conv_ids replace old rows. new_ids
+        # is delta-sized by the incremental premise — broadcast it so
+        # every standing table stays a SCAN (never shuffled/sorted for
+        # an anti-join whose filter side fits one broadcast).
+        surviving_old_sets = prior_sets.join(
+            F.broadcast(new_ids), "id", "left_anti")
         all_sets = surviving_old_sets.unionByName(new_sets)
         if prior_sigs is not None:
-            old_sigs = prior_sigs.join(new_ids, "id", "left_anti")
+            old_sigs = prior_sigs.join(
+                F.broadcast(new_ids), "id", "left_anti")
         else:
             old_sigs = minhash_signatures(surviving_old_sets, cfg)
         all_sigs = old_sigs.unionByName(new_sigs)
@@ -163,9 +168,14 @@ def incremental_dedup(
     )
     cands = nn
     if old_buckets is not None:
-        # new×old (both orientations canonicalized)
+        # new×old (both orientations canonicalized). The NEW side is
+        # delta × bands rows — broadcast it so the standing bucket
+        # table is probed in place (scan-only; no per-batch shuffle or
+        # sort of corpus × bands rows — measured on the r4 curve as a
+        # batch_sec term still growing with the corpus). On Iceberg the
+        # same join prunes the standing scan to touched buckets.
         no = (
-            new_buckets.alias("n")
+            F.broadcast(new_buckets.alias("n"))
             .join(old_buckets.alias("o"), ["band_id", "bucket_hash"])
             .select(
                 F.least(F.col("n.id"), F.col("o.id")).alias("id_a"),
@@ -220,14 +230,16 @@ def incremental_dedup(
         surviving_prior = None
     else:
         # drop every prior pair touching an updated id (stale Jaccard),
-        # then union — disjoint, so no tie-break needed
+        # then union — disjoint, so no tie-break needed. Broadcast the
+        # delta id set: the standing pair table is scanned, never
+        # shuffled, for the invalidation filter.
         surviving_prior = (
             prior_pairs.select("id_a", "id_b", "intersection", "size_a",
                                "size_b", "jaccard")
-            .join(new_ids.withColumnRenamed("id", "id_a"), "id_a",
-                  "left_anti")
-            .join(new_ids.withColumnRenamed("id", "id_b"), "id_b",
-                  "left_anti")
+            .join(F.broadcast(new_ids.withColumnRenamed("id", "id_a")),
+                  "id_a", "left_anti")
+            .join(F.broadcast(new_ids.withColumnRenamed("id", "id_b")),
+                  "id_b", "left_anti")
         )
         pairs = surviving_prior.unionByName(new_pairs)
 
@@ -250,12 +262,26 @@ def incremental_dedup(
             .select("cluster_id").distinct()
         )
         # prior pairs of affected components: id_a's component is the
-        # pair's component (both endpoints share it by definition)
+        # pair's component (both endpoints share it by definition).
+        # Resolve the affected IDS first (standing components scanned
+        # once against the broadcast root set — a broadcast hash join,
+        # no shuffle), then semi-filter the standing pairs on id_a
+        # against that broadcast set. The r4 formulation joined the two
+        # corpus-sized standing tables (pairs × components) sort-merge
+        # per batch — the dominant surviving corpus-proportional
+        # SHUFFLE in the timed batch window of BENCH/incremental_curve.
+        # affected_ids is bounded by the delta's duplicate neighborhood
+        # (the batch-local-CC premise); a corpus degenerating into one
+        # giant component should run global CC instead — the
+        # prior_components=None path.
+        affected_ids = (
+            prior_components.join(F.broadcast(affected_roots),
+                                  "cluster_id")
+            .select(F.col("id").alias("id_a"))
+        )
         affected_prior = (
             surviving_prior
-            .join(prior_components.withColumnRenamed("id", "id_a"),
-                  "id_a")
-            .join(F.broadcast(affected_roots), "cluster_id")
+            .join(F.broadcast(affected_ids), "id_a", "left_semi")
             .select(*new_pairs.columns)
         )
         cc_input = new_pairs.unionByName(affected_prior)
