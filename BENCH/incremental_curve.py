@@ -95,6 +95,9 @@ def main() -> None:
         for rep in range(REPS):
             pre = probe_min3()
             t0 = time.monotonic()
+            # metrics intentionally omitted (None) in the timed window:
+            # the observability counts are three extra driver-blocking
+            # jobs (incremental.py) and belong in the untimed pass below
             out = incremental_dedup(
                 delta_tx, prior_sets, prior_pairs, cfg,
                 prior_sigs=prior_sigs, prior_buckets=prior_buckets,
