@@ -745,7 +745,7 @@ with raw samples: SCALE_NOTES.md "config ladder" + per-config
   slim pair side exchanges), yet measured SLOWER at both levels and
   scaled WORSE: N 800.4s / 56,110 turns/s, 4N 353.6s /
   127,014 turns/s → eff 0.566 (clean probes both levels), vs the
-  persisted-cache 0.677. A parquet-codec ladder (snappy →
+  persisted-cache 0.669. A parquet-codec ladder (snappy →
   uncompressed + dictionary off) moved nothing (4N 372.5s,
   N 807.3s). Why: on this sandbox the exchange being removed was
   already cheap — zstd-compressed spill to tmpfs, no network, no
@@ -757,7 +757,7 @@ with raw samples: SCALE_NOTES.md "config ladder" + per-config
   bucketed scan is node-local — the Iceberg `bucket(N, id)` layout
   remains the production design (operators/verify.py,
   plans/checkpoint.py), and this sandbox A/B is the evidence that
-  the 0.677 residual is the box's shared-DRAM bound, not a plan
+  the ~0.67 residual is the box's shared-DRAM bound, not a plan
   defect: every byte-moving term has now been individually attacked
   (fusion, zstd, cache tiers, GC, capacity, data layout) and the
   two that helped are exactly the two that reduce bytes through
