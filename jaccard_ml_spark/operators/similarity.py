@@ -135,6 +135,100 @@ def cosine_dup_pairs(
     )
 
 
+def _seq_rowsum(prod: np.ndarray) -> np.ndarray:
+    """Left-to-right sequential sum over the last axis.
+
+    ``np.cumsum`` is defined sequentially, so taking its last element
+    reproduces Catalyst's ``F.aggregate(... acc + x)`` left fold
+    bit-for-bit (numpy's ``.sum`` uses pairwise summation — a different
+    addition ORDER, hence potentially a different last bit, which the
+    6-dp stable rounding could amplify into a visible diff exactly at
+    rounding boundaries). Costs ~2× a BLAS sum; exactness vs the
+    Catalyst oracle path is worth it."""
+    return np.cumsum(prod, axis=-1)[..., -1]
+
+
+def _brute_pairs_broadcast(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact all-pairs threshold scoring via a broadcast matrix.
+
+    One ``mapInPandas`` scan over the id column: each task matmuls its
+    query block against the full broadcast (n, dim) float64 matrix and
+    emits ``(id_a, id_b, cosine)`` for rounded cosine ≥ threshold with
+    ``id_a < id_b`` (each unordered pair exactly once — the side with
+    the smaller id emits it). No bucket build, no pair exchange, no
+    distinct: the only shuffle is the small id repartition for task
+    parallelism.
+
+    Bounded driver collect (anti-pattern audit): callers gate this path
+    on ``n·dim·8 ≤ brute_broadcast_bytes`` BEFORE collecting, so the
+    matrix is broadcast-sized by construction. Arithmetic matches the
+    Catalyst expression path operation-for-operation (float→double
+    cast, sequential-order dot via cumsum, norm-product-then-divide,
+    floor-based 6-dp rounding) so the output is bit-identical to
+    ``cosine_dup_pairs`` / ``_score_pairs`` — asserted in
+    tests/test_similarity.py.
+    """
+    spark = vectors.sparkSession
+    pdf = vectors.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+    norms = np.sqrt(_seq_rowsum(mat * mat))
+    # ids may be strings: compare by sort-rank so the per-pair order
+    # test is a vectorized int compare, not O(B·n) Python object code
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[np.argsort(ids, kind="stable")] = np.arange(len(ids))
+    bc = spark.sparkContext.broadcast((ids, mat, norms, rank))
+    thr = float(threshold)
+
+    id_field = vectors.select(F.col(id_col)).schema.fields[0]
+    out_schema = T.StructType([
+        T.StructField("id_a", id_field.dataType),
+        T.StructField("id_b", id_field.dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        ids_, mat_, norms_, rank_ = bc.value
+        index = {v: i for i, v in enumerate(ids_)}
+        n = len(ids_)
+        for b in batches:
+            qi = np.fromiter((index[v] for v in b["id"]),
+                             dtype=np.int64, count=len(b))
+            if not len(qi):
+                continue
+            q = mat_[qi]                      # (B, dim) float64
+            # chunk the corpus axis so the (B, cn, dim) product stays
+            # ~64 MB regardless of block/corpus sizes
+            cn = max(1, int((8 << 20) // max(1, q.shape[0] * q.shape[1])))
+            for s in range(0, n, cn):
+                m = mat_[s:s + cn]
+                c = _seq_rowsum(q[:, None, :] * m[None, :, :]) \
+                    / (norms_[qi][:, None] * norms_[None, s:s + cn])
+                c = np.floor(c * 1e6 + 0.5) / 1e6
+                keep = (c >= thr) & (rank_[qi][:, None]
+                                     < rank_[None, s:s + cn])
+                bi, ci = np.nonzero(keep)
+                if len(bi):
+                    yield pd.DataFrame({
+                        "id_a": ids_[qi[bi]],
+                        "id_b": ids_[s + ci],
+                        "cosine": c[bi, ci],
+                    })
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        vectors.select(F.col(id_col).alias("id"))
+        .repartition(min(par, max(1, len(ids) // 64)))
+        .mapInPandas(gen, out_schema)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sign-LSH (random hyperplanes)
 # ---------------------------------------------------------------------------
@@ -210,6 +304,26 @@ def modeled_recall(threshold: float, n_planes: int, n_tables: int) -> float:
         return 1.0
     if q <= 0.0:
         return 0.0
+    return 1.0 - (1.0 - q) ** n_tables
+
+
+def expected_collision_fraction(n_planes: int, n_tables: int) -> float:
+    """Collision-model probability that an UNCORRELATED pair (cosine
+    ~0, per-plane agreement 1/2) lands in the same bucket of at least
+    one table — the expected CANDIDATE DENSITY the index produces on
+    random data, as a fraction of all n(n-1)/2 pairs.
+
+    This is the strategy-selection signal: when low thresholds force
+    auto_ann_params into few planes and many tables (the documented
+    cost cliff), this fraction approaches 1 and the "approximate"
+    index degenerates into all-pairs WITH bucket/shuffle overhead on
+    top — measured at sf0.1 / threshold 0.4: planes=4, tables=54 →
+    predicted 0.969, observed 1.906M of 1.999M possible pairs (95.4%)
+    emitted as candidates. At that density an exact blocked matmul
+    scores the same number of pairs with none of the index machinery
+    (the same flat-vs-index switch FAISS makes, driven by the model
+    instead of a fixed size cutoff)."""
+    q = 0.5 ** n_planes
     return 1.0 - (1.0 - q) ** n_tables
 
 
@@ -462,6 +576,9 @@ def embedding_near_dup_pairs(
     bucket_cap: int | None = 4096,
     target_recall: float = 0.9999,
     metrics: dict | None = None,
+    strategy: str = "auto",
+    brute_frac_cutoff: float = 0.25,
+    brute_broadcast_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Embedding threshold-dedup at scale: sign-LSH candidates + exact
     cosine verify — the bucketed twin of cosine_dup_pairs (round-1 gap:
@@ -473,29 +590,56 @@ def embedding_near_dup_pairs(
     threshold and target recall (auto_ann_params); below
     ``brute_cutoff`` the exact path runs directly.
 
-    Cost cliff (document, don't hide): the solved table count grows
-    steeply as the threshold drops — at target_recall=0.9999 a
-    production threshold ≥ 0.85 needs ~4-8 tables, but threshold 0.4
-    solves to the 64-table cap (the driver's synthetic embeddings only
-    reach ~0.5 pairwise cosine, hence the bench query's cost). Every
-    table is one more row per vector through the single bucket
-    exchange, so candidate volume — and the stage's shuffle — scales
-    linearly with it. For exploratory low thresholds prefer a lower
-    ``target_recall`` or pin ``n_tables`` and accept the modeled
-    recall.
+    Cost cliff — now HANDLED by strategy selection, not just
+    documented: the solved table count grows steeply as the threshold
+    drops — at target_recall=0.9999 a production threshold ≥ 0.85
+    needs ~4-8 tables, but threshold 0.4 solves to the 64-table cap,
+    and at those parameters the collision model itself
+    (``expected_collision_fraction``) predicts near-ALL random pairs
+    become candidates (measured 95.4% at sf0.1) — the index does
+    strictly more work than brute force. ``strategy="auto"`` therefore
+    switches to the exact broadcast-matmul path
+    (``_brute_pairs_broadcast``) when BOTH (a) the predicted candidate
+    density on random data ≥ ``brute_frac_cutoff`` and (b) the float64
+    matrix fits ``brute_broadcast_bytes`` (default 128 MB ≈ 262k
+    vectors at dim 64 — beyond that the run is honestly expensive
+    either way and LSH with its bucket_cap bound is the lossy-but-
+    bounded choice, with ``modeled_recall`` logged). Auto-switching
+    only happens when BOTH n_planes and n_tables were left to the
+    solver: pinning either is an expert override and keeps the LSH
+    path (tests rely on this to exercise capping/metering).
+    ``strategy="lsh"`` / ``"brute"`` force a path explicitly. This is
+    the reference's ML-driven kernel-selection idea
+    (/root/reference/src/ml_model.py) reborn as a closed-form
+    cost-model rule, like the skew knobs in operators/autotune.py.
     """
+    assert strategy in ("auto", "lsh", "brute"), strategy
     vecs = vectors.select(F.col(id_col).alias(id_col),
                           F.col(vec_col).alias(vec_col)).persist()
     _PERSISTED.append(vecs)
     n = vecs.count()
-    if n <= brute_cutoff:
+    if strategy != "brute" and n <= brute_cutoff:
         return cosine_dup_pairs(vecs, threshold, id_col, vec_col)
+    solver_free = n_planes is None and n_tables is None
     if n_planes is None or n_tables is None:
         auto_p, auto_t = auto_ann_params(n, threshold,
                                          target_recall=target_recall)
         n_planes = n_planes if n_planes is not None else auto_p
         n_tables = n_tables if n_tables is not None else auto_t
+    cand_frac = expected_collision_fraction(n_planes, n_tables)
+    mat_bytes = n * dim * 8
+    if strategy == "brute" or (
+            strategy == "auto" and solver_free
+            and cand_frac >= brute_frac_cutoff
+            and mat_bytes <= brute_broadcast_bytes):
+        if metrics is not None:
+            metrics["embdup.strategy"] = "brute_broadcast"
+            metrics["embdup.collision_frac"] = round(cand_frac, 6)
+            metrics["embdup.modeled_recall"] = 1.0
+        return _brute_pairs_broadcast(vecs, threshold, id_col, vec_col)
     if metrics is not None:
+        metrics["embdup.strategy"] = "lsh"
+        metrics["embdup.collision_frac"] = round(cand_frac, 6)
         # the tuned triple, like the skew knobs (operators/autotune):
         # when the table cap binds and planes were traded away, the
         # modeled recall shows what the run actually ships

@@ -104,24 +104,68 @@ def test_ivf_topk_lsh_path_recall(emb, exact):
     assert rec >= 0.5, rec
 
 
-def test_embedding_near_dup_pairs_matches_exact(emb):
-    """The bucketed scale twin must recover the exact threshold pairs
-    (recall gate vs the cross-join oracle, VERDICT item 3)."""
+@pytest.mark.parametrize("strategy", ["lsh", "auto"])
+def test_embedding_near_dup_pairs_matches_exact(emb, strategy):
+    """The scale twin must recover the exact threshold pairs (recall
+    gate vs the cross-join oracle, VERDICT item 3) — on BOTH paths:
+    forced LSH (buckets + exact verify) and auto, which at threshold
+    0.4 picks the brute-broadcast matmul (collision model predicts
+    ~0.99 candidate density → the index would do MORE work than
+    all-pairs; see expected_collision_fraction)."""
     # the synthetic embeddings max out around cosine ~0.5 pairwise;
     # 0.4 is the threshold the driver query uses too
     exact_pairs = {(r.id_a, r.id_b): r.cosine
                    for r in cosine_dup_pairs(emb, threshold=0.4).collect()}
-    lsh_pairs = {(r.id_a, r.id_b): r.cosine
+    metrics = {}
+    got_pairs = {(r.id_a, r.id_b): r.cosine
                  for r in embedding_near_dup_pairs(
                      emb, threshold=0.4, dim=64,
-                     brute_cutoff=0).collect()}
+                     brute_cutoff=0, strategy=strategy,
+                     metrics=metrics).collect()}
     assert exact_pairs, "fixture should contain planted near-dups"
-    # LSH candidates ⊆ all pairs and verify is exact → precision 1.0
-    assert set(lsh_pairs) <= set(exact_pairs)
-    recall = len(lsh_pairs) / len(exact_pairs)
-    assert recall >= 0.99, recall
-    for key, v in lsh_pairs.items():
-        assert v == pytest.approx(exact_pairs[key], abs=1e-9)
+    # candidates ⊆ all pairs and verify is exact → precision 1.0
+    assert set(got_pairs) <= set(exact_pairs)
+    recall = len(got_pairs) / len(exact_pairs)
+    if strategy == "auto":
+        # model-driven switch engaged, and the matmul path is
+        # bit-identical to the Catalyst expression path, not just
+        # approximately equal (sequential-order summation)
+        assert metrics["embdup.strategy"] == "brute_broadcast"
+        assert recall == 1.0
+        assert got_pairs == exact_pairs
+    else:
+        assert metrics["embdup.strategy"] == "lsh"
+        assert recall >= 0.99, recall
+        for key, v in got_pairs.items():
+            assert v == pytest.approx(exact_pairs[key], abs=1e-9)
+
+
+def test_embdup_strategy_selection_rules(emb):
+    """Auto-brute engages ONLY when (a) both LSH params were left to
+    the solver, (b) predicted random-pair candidate density ≥ cutoff,
+    (c) the matrix fits the broadcast budget; pinning either param is
+    an expert override that keeps LSH."""
+    from jaccard_ml_spark.operators.similarity import (
+        expected_collision_fraction,
+    )
+    # collision model sanity: more tables → denser; more planes →
+    # sparser; measured point from sf0.1 (planes=4, tables=54 → 0.969)
+    assert expected_collision_fraction(4, 54) == \
+        pytest.approx(0.969, abs=0.001)
+    assert expected_collision_fraction(16, 8) < 0.01
+    m = {}
+    embedding_near_dup_pairs(emb, threshold=0.4, dim=64, brute_cutoff=0,
+                             n_planes=3, n_tables=8, metrics=m)
+    assert m["embdup.strategy"] == "lsh"  # pinned params → no hijack
+    # at production scale the occupancy rule grows planes with n
+    # (auto_ann_params: planes ≈ log2(n/64)), so random-pair density
+    # collapses and LSH stays selected: n=1e8 → 21 planes; even at the
+    # 64-table cap the predicted density is ~3e-5 of all pairs
+    assert expected_collision_fraction(21, 64) < 1e-4
+    m = {}
+    embedding_near_dup_pairs(emb, threshold=0.4, dim=64, brute_cutoff=0,
+                             brute_broadcast_bytes=1024, metrics=m)
+    assert m["embdup.strategy"] == "lsh"  # matrix over budget → LSH
 
 
 def test_cosine_dup_pairs_exactness(emb, spark):
