@@ -3,8 +3,13 @@
 ``entry(spark)`` — flagship near-dup clustering on sf0.001 documents.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 +
 training-data ops); each callable takes (spark, sf_dir).
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Queries whose
-semantics are not SQL-expressible (MinHash internals) are rows-only.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Every query has
+one: the engine's own hash family (byte-polynomial token hash → k-gram
+rolling hash → MinHash multiply-add / SimHash bit votes, all mod-2^64
+uint64 arithmetic — functions/shingle_arrow.py + functions/hashing.py)
+is replicated bit-exactly in SQL via HUGEINT split-multiply (see the
+"engine hash family in SQL" section), so even minhash_band_stats and
+simhash_near_pairs get full value-hash differentials.
 
 Column-name and value parity rules used throughout:
 - every computed column is aliased identically on both sides
@@ -92,6 +97,156 @@ jac AS (
   JOIN sizes sa ON sa.doc_id = ia
   JOIN sizes sb ON sb.doc_id = ib
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# engine hash family in SQL — a bit-exact DuckDB replica of the Arrow
+# shingle/MinHash/SimHash kernels (functions/shingle_arrow.py:63-100,
+# functions/hashing.py:43-152), so the two queries built on raw engine
+# hash values (minhash_band_stats, simhash_near_pairs) get full
+# value-hash differentials instead of rows-only checks.
+#
+# All engine hashes are uint64 multiply-adds. DuckDB BIGINT errors on
+# overflow, so the replica works in HUGEINT (int128) mod 2^64; a 64×64
+# product can reach 2^128 (overflowing int128), so multiplication is
+# split into 32-bit halves — every partial product stays < 2^66:
+#   (a·x) mod 2^64 = (aₗxₗ + ((aₗxₕ + aₕxₗ) mod 2^32)·2^32) mod 2^64
+# ---------------------------------------------------------------------------
+
+_W64 = "18446744073709551616::HUGEINT"  # 2^64
+
+
+def _sql_umul64(a: str, x: str) -> str:
+    """(a * x) mod 2^64 for two HUGEINT expressions in [0, 2^64)."""
+    return (f"((({a}) % 4294967296) * (({x}) % 4294967296) + "
+            f"(((({a}) % 4294967296) * (({x}) // 4294967296) + "
+            f"(({a}) // 4294967296) * (({x}) % 4294967296)) % 4294967296) "
+            f"* 4294967296) % {_W64}")
+
+
+def _sql_umul64_const(c: int, x: str) -> str:
+    """(c * x) mod 2^64 with c a compile-time uint64 constant."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (f"((({x}) % 4294967296) * {cl} + "
+            f"(((({x}) % 4294967296) * {ch} + (({x}) // 4294967296) * {cl}) "
+            f"% 4294967296) * 4294967296) % {_W64}")
+
+
+def _sql_engine_items() -> str:
+    """CTE chain ending in ``items(doc_id, gram)``: the distinct k-gram
+    hash set per document in the ENGINE's hash family, bit-identical to
+    ``_doc_sets`` (shingle_arrow._shingle_batch), uint64 domain.
+
+    Mirrors the kernel stage by stage: ASCII lower+split tokenize →
+    per-token byte polynomial h = h·M + byte seeded with _HSEED, bytes
+    capped at 64 (shingle_arrow._hash_tokens_from_bytes) → finalize
+    h' = ((h + len·M) XOR (h >> 31)) · M, where the XOR's right operand
+    is the PRE-add polynomial value (shingle_arrow._finalize) → k-gram
+    rolling polynomial over token hashes with the short-doc (< k
+    tokens) single-gram fallback → DISTINCT (np.unique)."""
+    from jaccard_ml_spark.functions.shingle_arrow import _HSEED, _MULT
+    m, hs = int(_MULT), int(_HSEED)
+    poly = (f"list_reduce(list_prepend({hs}::HUGEINT, "
+            f"list_transform(range(1, least(length(t), 64) + 1), "
+            f"i -> ord(t[i])::HUGEINT)), "
+            f"(h, b) -> ({_sql_umul64_const(m, 'h')} + b) % {_W64})")
+    p, ln = "hp[j]", "length(toks[j])::HUGEINT"
+    fin = _sql_umul64_const(
+        m, f"xor(({p} + ({ln} * {m}::HUGEINT) % {_W64}) % {_W64}, "
+           f"{p} // 2147483648)")
+    return f"""{_SQL_TOKS},
+hp AS (
+  SELECT doc_id, toks, list_transform(toks, t -> {poly}) AS hp
+  FROM toks WHERE len(toks) > 0
+),
+th AS (
+  SELECT doc_id, list_transform(range(1, len(toks) + 1), j -> {fin}) AS th
+  FROM hp
+),
+grams AS (
+  SELECT doc_id,
+         list_reduce(th[i : i + {K - 1}], (acc, t) ->
+           ({_sql_umul64_const(m, 'acc')} + t) % {_W64}) AS gram
+  FROM th, UNNEST(range(1, greatest(len(th) - {K - 1}, 1) + 1)) AS u(i)
+),
+items AS (SELECT DISTINCT doc_id, gram FROM grams)"""
+
+
+def _sql_minhash_band_stats() -> str:
+    """Full differential for q_minhash_band_stats: the 96 multiply-add
+    permutation constants (hashing._perm_params(96, 42)) are embedded
+    as literals; sig_j = min over items of (a_j·x + b_j) mod 2^64
+    (unsigned min, matching np.minimum on uint64). Buckets are grouped
+    by the band's 6-row signature TUPLE instead of the JVM bucket_hash
+    — the same partition of (doc, band) rows unless the engine's
+    64-bit band hash collides (P ≈ 2⁻⁶⁴ per bucket pair; the output
+    stats never expose the hash itself)."""
+    from jaccard_ml_spark.functions.hashing import _perm_params
+    a, b = _perm_params(CFG.num_perm, CFG.minhash_seed)
+    vals = ",".join(f"({j},{int(a[j])}::HUGEINT,{int(b[j])}::HUGEINT)"
+                    for j in range(CFG.num_perm))
+    r = CFG.rows_per_band
+    return f"""
+WITH {_sql_engine_items()},
+perms(j, a, b) AS (VALUES {vals}),
+sig AS (
+  SELECT i.doc_id, p.j // {r} AS band_id, p.j,
+         min(({_sql_umul64('p.a', 'i.gram')} + p.b) % {_W64}) AS s
+  FROM items i CROSS JOIN perms p
+  GROUP BY i.doc_id, p.j
+),
+buckets AS (
+  SELECT doc_id, band_id, list(s ORDER BY j) AS bucket_key
+  FROM sig GROUP BY doc_id, band_id
+),
+bs AS (
+  SELECT band_id, bucket_key, count(*) AS bucket_size
+  FROM buckets GROUP BY band_id, bucket_key
+)
+SELECT band_id::INT AS band_id,
+       count(*)::BIGINT AS n_buckets,
+       sum(bucket_size)::BIGINT AS n_rows,
+       max(bucket_size)::BIGINT AS max_bucket,
+       floor(avg(bucket_size) * 1000000.0 + 0.5) / 1000000.0 AS avg_bucket
+FROM bs GROUP BY band_id ORDER BY band_id
+"""
+
+
+def _sql_simhash_near_pairs() -> str:
+    """Full differential for q_simhash_near_pairs: the 64-bit engine
+    SimHash (hashing.simhash_udf — per-element remix x = h·mix + add,
+    bit b of the fingerprint set iff 2·ones_b − n > 0) rebuilt in SQL
+    with the same seed-43 mix/add constants, then brute-force Hamming
+    pairs (the Spark side's pigeonhole block join is exact within the
+    radius, so the pair sets must be identical). Fingerprints are
+    compared in the uint64 domain; xor/bit_count are bit-pattern
+    functions so the signed int64 view on the Spark side is
+    irrelevant."""
+    import numpy as np
+    rng = np.random.default_rng(CFG.minhash_seed + 1)
+    mix = int(np.uint64(rng.integers(1, 2**63, dtype=np.uint64) * 2 + 1))
+    add = int(np.uint64(rng.integers(0, 2**63, dtype=np.uint64)))
+    radius = CFG.simhash_hamming_max
+    bits_terms = " + ".join(
+        f"(CASE WHEN 2 * sum((x // {1 << bb}) % 2) - count(*) > 0 "
+        f"THEN {1 << bb}::HUGEINT ELSE 0::HUGEINT END)"
+        for bb in range(CFG.simhash_bits))
+    return f"""
+WITH {_sql_engine_items()},
+mixed AS (
+  SELECT doc_id,
+         ({_sql_umul64_const(mix, 'gram')} + {add}::HUGEINT) % {_W64} AS x
+  FROM items
+),
+fp AS (
+  SELECT doc_id, {bits_terms} AS f
+  FROM mixed GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.f, b.f))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {radius}
 """
 
 
@@ -234,8 +389,10 @@ def q_shingle_df_histogram(spark, sf_dir):
 
 
 def q_minhash_band_stats(spark, sf_dir):
-    """LSH bucket-cardinality stats per band (rows-only check: MinHash
-    is not SQL-expressible). The strategy-selection input of SURVEY §4.4."""
+    """LSH bucket-cardinality stats per band — the strategy-selection
+    input of SURVEY §4.4. Fully oracle-checked: the engine's MinHash
+    family is replicated bit-exactly in DuckDB HUGEINT arithmetic
+    (_sql_minhash_band_stats)."""
     sigs = minhash_signatures(_doc_sets(spark, sf_dir), CFG)
     stats = bucket_stats(lsh_buckets(sigs, CFG))
     return (
@@ -337,8 +494,10 @@ def q_simhash32(spark, sf_dir):
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    """64-bit SimHash Hamming-ball pairs (rows-only: engine hash family).
-    Exact within radius via pigeonhole block join."""
+    """64-bit SimHash Hamming-ball pairs, exact within the radius via
+    pigeonhole block join. Fully oracle-checked: the engine fingerprint
+    kernel is replicated bit-exactly in DuckDB (_sql_simhash_near_pairs);
+    simhash32_near_pairs remains as the md5-family differential twin."""
     from jaccard_ml_spark.operators.simhash_path import (
         simhash_fingerprints,
         simhash_near_pairs,
@@ -833,4 +992,9 @@ SELECT train_id, eval_id,
 FROM inter JOIN evsz z ON z.doc_id = eval_id
 WHERE i * 1.0 / z.sz >= 0.5
 """
+
+    # engine-hash-family differentials (bit-exact HUGEINT replicas of
+    # the Arrow kernels — see the "engine hash family in SQL" section)
+    sql["minhash_band_stats"] = _sql_minhash_band_stats()
+    sql["simhash_near_pairs"] = _sql_simhash_near_pairs()
     return sql

@@ -26,12 +26,11 @@ def test_queries_have_oracles_or_are_flagged(spark):
 
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
-    # only the genuinely non-SQL-expressible ops may omit an oracle:
-    # the engine-hash-family MinHash/SimHash internals. (ann/ivf topk
-    # and substring_pairs gained oracles in round 2 — exact below the
-    # index cutoff / hash-free verified pair set.)
-    assert set(qs) - set(os_) == {"minhash_band_stats",
-                                  "simhash_near_pairs"}
+    # round 5: EVERY query now has a full value oracle — the last two
+    # (engine-hash-family MinHash/SimHash internals) are covered by the
+    # bit-exact HUGEINT replica of the Arrow kernels (__spark_entry__
+    # "engine hash family in SQL" section).
+    assert set(qs) == set(os_)
 
 
 @pytest.mark.slow
