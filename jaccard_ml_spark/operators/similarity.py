@@ -442,52 +442,88 @@ def _pairs_within_groups(assign: DataFrame, group_cols: list[str],
         metrics[f"{metrics_prefix}.max_bucket_size"] = int(row.mx or 0)
 
     # Capped prefix pairs AND beyond-cap star edges are built in ONE
-    # projection over the grouped table. (Until r4 the star edges were
-    # a second filtered subtree + unionByName — a permanently-near-
-    # empty extra stage on EVERY call even when no bucket exceeded the
-    # cap, the same 3-4 s/stage tax measured and pruned for the LSH
-    # strategy arms in candidates.py. A single expression can never
-    # add a stage: sub-cap buckets just produce an empty star array.)
+    # vectorized Arrow pass over the grouped member arrays (until r5
+    # this was a nested F.transform/struct projection: Spark evaluates
+    # HOF lambdas interpreted, ~10⁵ struct allocations/s/core — the
+    # measured dominant cost of the embedding candidate stage at sf0.1.
+    # numpy triu_indices emits the same pairs at memory bandwidth; the
+    # Arrow round trip ships each group's id array in and slim id
+    # pairs out). Members are sorted ascending (sort_array above), so
+    # prefix pairs are canonical id_a < id_b by construction, and every
+    # star edge pairs a prefix rep (≤ cap-th member) with a beyond-cap
+    # member — strictly greater, distinct within a group — preserving
+    # the exact pair set of the expression form (asserted in
+    # tests/test_similarity.py).
     assert bucket_cap >= 2, "bucket_cap < 2 degenerates the pairing"
     grouped = grouped.where(F.size("members") > 1)
-    mem = F.col("members")
-    pref = F.slice(mem, 1, bucket_cap)
-    prefix_pairs = F.flatten(F.transform(
-        F.sequence(F.lit(1), F.size(pref) - 1),
-        lambda i: F.transform(
-            F.slice(pref, i + 1, F.size(pref)),
-            lambda y: F.struct(F.element_at(pref, i).alias("id_a"),
-                               y.alias("id_b")),
-        ),
-    ))
-    reps = F.slice(mem, 1, rep_count)
-    beyond = F.slice(mem, bucket_cap + 1,
-                     F.greatest(F.size(mem) - bucket_cap, F.lit(0)))
-    star = F.flatten(F.transform(
-        beyond,
-        lambda x: F.transform(
-            reps,
-            lambda r: F.struct(F.least(r, x).alias("id_a"),
-                               F.greatest(r, x).alias("id_b")),
-        ),
-    ))
-    return (
-        grouped
-        .select(F.explode(F.concat(prefix_pairs, star)).alias("_p"))
-        .select(F.col("_p.id_a").alias("id_a"),
-                F.col("_p.id_b").alias("id_b"))
-        .where(F.col("id_a") != F.col("id_b"))
-        .distinct()
-    )
+    id_type = assign.schema["id"].dataType
+    out_schema = T.StructType([T.StructField("id_a", id_type),
+                               T.StructField("id_b", id_type)])
+    cap, reps_n = bucket_cap, rep_count
+
+    def _gen(batches):
+        for b in batches:
+            acc_a: list = []
+            acc_b: list = []
+            for m in b["members"]:
+                arr = np.asarray(m)
+                n = len(arr)
+                if n < 2:
+                    continue
+                head = arr[:cap] if n > cap else arr
+                i, j = np.triu_indices(len(head), k=1)
+                acc_a.append(head[i])
+                acc_b.append(head[j])
+                if n > cap:
+                    reps = arr[:reps_n]
+                    beyond = arr[cap:]
+                    acc_a.append(np.repeat(reps, len(beyond)))
+                    acc_b.append(np.tile(beyond, len(reps)))
+            if acc_a:
+                yield pd.DataFrame({"id_a": np.concatenate(acc_a),
+                                    "id_b": np.concatenate(acc_b)})
+
+    return (grouped.select("members").mapInPandas(_gen, out_schema)
+            .distinct())
+
+
+@pandas_udf(T.DoubleType())
+def _dot_seq_arrow(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Vectorized pair dot product, bit-identical to the Catalyst
+    expression ``dot(a, b)`` (embeddings.py): per element float→double
+    cast, multiply, then LEFT-TO-RIGHT summation via cumsum
+    (_seq_rowsum) — numpy's pairwise ``.sum`` order would differ in
+    the last bit. One Arrow batch = one (B, dim) matrix op, replacing
+    ~dim interpreted fold steps per row (measured ~100k HOF folds/s vs
+    tens of millions of multiply-adds/s here — the dot was the hot-path
+    cost of every candidate-scoring stage)."""
+    out = np.full(len(va), np.nan)
+    rows = [(i, np.asarray(a, dtype=np.float64),
+             np.asarray(b, dtype=np.float64))
+            for i, (a, b) in enumerate(zip(va, vb))
+            if a is not None and b is not None and len(a) == len(b)]
+    if rows:
+        idx = np.fromiter((i for i, _, _ in rows), dtype=np.intp,
+                          count=len(rows))
+        A = np.stack([a for _, a, _ in rows])
+        B = np.stack([b for _, _, b in rows])
+        out[idx] = _seq_rowsum(A * B)
+    return pd.Series(out)
 
 
 def _score_pairs(cand: DataFrame, vectors: DataFrame,
                  id_col: str, vec_col: str) -> DataFrame:
     """(id_a, id_b) → + exact rounded cosine; two hash joins on id.
 
-    Norms are computed once per vector (in the joined projection), not
-    per pair; the join sides are slim (id, vec, norm).
-    """
+    Norms are computed once per vector (in the joined projection, on
+    the small side of the broadcast), not per pair. The per-pair dot
+    runs in ONE vectorized Arrow pass (_dot_seq_arrow) — bit-identical
+    to the Catalyst fold by shared summation order, asserted in
+    tests/test_similarity.py. A Python-UDF node is also a codegen
+    boundary: downstream projections that duplicate the cosine column
+    (e.g. _topk_from_scored's two orientations) reference the ONE
+    evaluated attribute instead of inlining and re-evaluating the
+    whole dot expression per copy (Catalyst CollapseProject would)."""
     v = vectors.select(F.col(id_col).alias("_id"),
                        F.col(vec_col).alias("_v")) \
                .withColumn("_n", norm(F.col("_v")))
@@ -498,15 +534,25 @@ def _score_pairs(cand: DataFrame, vectors: DataFrame,
         .join(v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
                        F.col("_n").alias("_nb")), "id_b")
         .select("id_a", "id_b",
-                stable_round6(dot(F.col("_va"), F.col("_vb"))
+                stable_round6(_dot_seq_arrow(F.col("_va"), F.col("_vb"))
                               / (F.col("_na") * F.col("_nb")))
                 .alias("cosine"))
     )
 
 
 def _topk_from_scored(scored: DataFrame, k: int) -> DataFrame:
-    sym = scored.unionByName(scored.select(
-        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cosine"))
+    # Both orientations of each scored pair in ONE explode projection.
+    # The obvious `scored.unionByName(scored.select(swapped))` scans
+    # `scored` twice — and since the candidate subtree above it (bucket
+    # UDF → groupBy → pairing → joins → scoring) is deliberately never
+    # cached, a union would EVALUATE that whole subtree twice per
+    # action (measured ~2× the query wall at sf0.1; same failure class
+    # as the rejected uncached verify semi-filter, verify.py:49-59).
+    sym = scored.select(F.explode(F.array(
+        F.struct(F.col("id_a"), F.col("id_b"), F.col("cosine")),
+        F.struct(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
+                 F.col("cosine")),
+    )).alias("_e")).select("_e.id_a", "_e.id_b", "_e.cosine")
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         sym.withColumn("rank", F.row_number().over(w))

@@ -264,3 +264,82 @@ def test_kmeans_centroids_memory_safe_at_max_params():
     assert (cents == cents2).all()
     # peak RSS growth stays far below the 4.3 GB broadcast temporary
     assert (after - before) < 500 * 1024, (before, after)  # KiB on linux
+
+
+def test_arrow_scorer_bit_identical_to_expression(spark, emb):
+    """r5: _score_pairs computes the pair dot in one vectorized Arrow
+    pass (_dot_seq_arrow). Same float→double cast and left-fold
+    summation order as the Catalyst ``dot`` expression → the rounded
+    cosine must be EXACTLY equal, not approximately (cumsum reproduces
+    the fold; numpy pairwise .sum would differ in the last bit)."""
+    from jaccard_ml_spark.functions import stable_round6
+    from jaccard_ml_spark.functions.embeddings import dot, norm
+    from jaccard_ml_spark.operators.similarity import _score_pairs
+
+    ids = emb.select(F.col("vec_id").alias("id_a"),
+                     F.col("vec_id").alias("id_b"))
+    cand = (emb.select(F.col("vec_id").alias("id_a"))
+            .crossJoin(emb.select(F.col("vec_id").alias("id_b")))
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (F.pmod(F.col("id_a") + F.col("id_b"), F.lit(7)) == 0)))
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in _score_pairs(cand, emb, "vec_id", "embedding").collect()}
+
+    v = emb.select(F.col("vec_id").alias("_id"),
+                   F.col("embedding").alias("_v")) \
+           .withColumn("_n", norm(F.col("_v")))
+    expr = (cand
+            .join(v.select(F.col("_id").alias("id_a"),
+                           F.col("_v").alias("_va"),
+                           F.col("_n").alias("_na")), "id_a")
+            .join(v.select(F.col("_id").alias("id_b"),
+                           F.col("_v").alias("_vb"),
+                           F.col("_n").alias("_nb")), "id_b")
+            .select("id_a", "id_b",
+                    stable_round6(dot(F.col("_va"), F.col("_vb"))
+                                  / (F.col("_na") * F.col("_nb")))
+                    .alias("cosine")))
+    want = {(r.id_a, r.id_b): r.cosine for r in expr.collect()}
+    assert got == want  # exact ==, not approx
+    assert len(got) > 100
+
+
+def test_arrow_pairing_equals_expression_pair_set(spark):
+    """r5: the numpy triu pairing in _pairs_within_groups must emit
+    exactly the pair set of the old nested-transform expression —
+    including the capped-bucket prefix pairs and beyond-cap star
+    edges (reps × beyond)."""
+    import numpy as np
+
+    from jaccard_ml_spark.operators.similarity import _pairs_within_groups
+
+    rows = []
+    rng = np.random.default_rng(7)
+    # bucket sizes: empty-ish, small, exactly-cap, over-cap pile
+    sizes = {0: 1, 1: 2, 2: 5, 3: 8, 4: 23}
+    nxt = 0
+    for bucket, sz in sizes.items():
+        for _ in range(sz):
+            rows.append((bucket, nxt))
+            nxt += 1
+    assign = spark.createDataFrame(rows, "bucket long, id long")
+    cap, reps = 8, 3
+    got = {(r.id_a, r.id_b) for r in _pairs_within_groups(
+        assign, ["bucket"], cap, rep_count=reps).collect()}
+
+    want = set()
+    members = {}
+    for bucket, i in rows:
+        members.setdefault(bucket, []).append(i)
+    for mem in members.values():
+        mem = sorted(mem)
+        head = mem[:cap]
+        for x in range(len(head)):
+            for y in range(x + 1, len(head)):
+                want.add((head[x], head[y]))
+        for b in mem[cap:]:
+            for r in mem[:reps]:
+                want.add((min(r, b), max(r, b)))
+    assert got == want
+    # over-cap bucket really exercised both arms
+    assert any(len(m) > cap for m in members.values())
