@@ -167,6 +167,16 @@ def main() -> None:
         times[name] = rec.pop("sec")
         weather[name] = rec
 
+    # untimed session warm-up: executor launch, codegen, a parquet
+    # footer read and one tiny shuffle. The calibration probes are pure
+    # numpy, so without this the FIRST timed query absorbs the whole
+    # JVM cold start (~3-4s measured on exact_dedup — a one-window
+    # query on 5k rows); the scaling harness warms up the same way
+    # (SCALING_WARMUP_MOD).
+    from pyspark.sql import functions as F
+    (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+     .limit(256).groupBy(F.spark_partition_id()).count().count())
+
     for name in HEADLINE:
         def fn(name=name):
             df = qs[name](spark, SF_DIR)
