@@ -780,7 +780,7 @@ with raw samples: SCALE_NOTES.md "config ladder" + per-config
   DRAM. Raw samples: BENCH/scaling_runs.json (`bucketed_sets: true`
   rows).
 
-## Dup-pair recall vs oracle
+{_curve_section(n_convs)}## Dup-pair recall vs oracle
 
 Recall/precision vs the brute-force exact oracle is asserted ≥ 0.99 /
 == 1.0 in `tests/test_pipeline_recall.py` (measured 1.0 / 1.0 at the
@@ -790,6 +790,69 @@ pinned config on the planted-duplicate fixtures at two seeds).
         f.write(md)
     if eff < 0.8:
         print(f"WARNING: efficiency {eff:.3f} < 0.8")
+
+
+def _curve_section(n_convs: int) -> str:
+    """Render the 1→2→4-executor efficiency-curve section from the
+    curve harness's persisted samples (BENCH/scaling_curve_runs.json,
+    merged with the main record's clean 1/4-level samples — identical
+    worker, partition floor, gating and persistence format). Empty
+    string until the curve has at least two clean levels.
+
+    The curve exists to separate the two readings of a low two-point
+    number: a plan defect (serial fraction, skew) loses roughly the
+    same efficiency per doubling, while the measured shared-DRAM
+    ceiling of this single co-tenant box predicts eff(1→2) near 1 and
+    eff(2→4) dropping toward the per-stream bandwidth bound.
+    """
+    bench_dir = os.path.join(REPO, "BENCH")
+    path = os.path.join(bench_dir, "scaling_curve_runs.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        view = {int(k): [r for r in v if _same_config(r, n_convs)
+                         and not r.get("weather_polluted")]
+                for k, v in json.load(f).items()}
+    main_path = os.path.join(bench_dir, "scaling_runs.json")
+    if os.path.exists(main_path):
+        with open(main_path) as f:
+            for k, v in json.load(f).items():
+                if int(k) in view:
+                    view[int(k)].extend(r for r in v
+                                        if _same_config(r, n_convs))
+    have = [lv for lv in sorted(view) if view[lv]]
+    if len(have) < 2:
+        return ""
+    best = {lv: max(view[lv], key=lambda r: r["turns_per_sec"])
+            for lv in have}
+    rows = "\n".join(
+        f"| {lv} | {best[lv]['wall_sec']} | {best[lv]['turns_per_sec']} "
+        f"| {len(view[lv])} |" for lv in have)
+    effs = []
+    for a, b in [(1, 2), (2, 4), (1, 4)]:
+        if a in best and b in best:
+            e = (best[b]["turns_per_sec"]
+                 / best[a]["turns_per_sec"]) / (b / a)
+            effs.append(f"eff({a}→{b}) = **{e:.3f}**")
+    return f"""## Efficiency curve (1 → 2 → 4 executors, same gated protocol)
+
+Same job, input and partition floor at three cluster sizes
+(best clean sample per level; harness: BENCH/scaling_curve.py, raw
+samples BENCH/scaling_curve_runs.json merged with the main record):
+
+| executors | best wall (s) | best throughput (turns/s) | clean samples |
+|---|---|---|---|
+{rows}
+
+{"; ".join(effs)}.
+
+Reading: a plan defect (serial fraction, skew) loses roughly the same
+efficiency per doubling; the measured shared-DRAM ceiling predicts
+near-1 eff(1→2) and the loss concentrated in eff(2→4), where 16
+concurrent streams contend for the box's memory bus (per-stream
+bandwidth at 16 streams measured 0.71× of 4-stream, outside Spark).
+
+"""
 
 
 def report_only() -> None:
