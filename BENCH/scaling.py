@@ -863,6 +863,19 @@ def report_only() -> None:
     n_convs = int(os.environ.get("SCALING_N_CONVS", "5760000"))
     runs = {int(k): [r for r in v if _same_config(r, n_convs)]
             for k, v in raw.items()}
+    # symmetric with the curve harness's merge of this record: clean
+    # N/4N samples measured by BENCH/scaling_curve.py use the identical
+    # worker, partition floor, gating and persistence format, so they
+    # enter the same best/mean/median pool (weather-filtered — the
+    # curve keeps its polluted attempts on disk, annotated)
+    curve_path = os.path.join(REPO, "BENCH", "scaling_curve_runs.json")
+    if os.path.exists(curve_path):
+        with open(curve_path) as f:
+            for k, v in json.load(f).items():
+                if int(k) in runs:
+                    runs[int(k)].extend(
+                        r for r in v if _same_config(r, n_convs)
+                        and not r.get("weather_polluted"))
     lo, hi = sorted(runs)
     mode = os.environ.get("SCALING_MODE", "local-cluster")
     write_report(runs, mode, lo, hi, n_convs)
