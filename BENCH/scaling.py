@@ -805,46 +805,51 @@ def _curve_section(n_convs: int) -> str:
     ceiling of this single co-tenant box predicts eff(1→2) near 1 and
     eff(2→4) dropping toward the per-stream bandwidth bound.
     """
-    bench_dir = os.path.join(REPO, "BENCH")
-    path = os.path.join(bench_dir, "scaling_curve_runs.json")
-    if not os.path.exists(path):
+    if not os.path.exists(os.path.join(REPO, "BENCH",
+                                       "scaling_curve_runs.json")):
         return ""
-    with open(path) as f:
-        view = {int(k): [r for r in v if _same_config(r, n_convs)
-                         and not r.get("weather_polluted")]
-                for k, v in json.load(f).items()}
-    main_path = os.path.join(bench_dir, "scaling_runs.json")
-    if os.path.exists(main_path):
-        with open(main_path) as f:
-            for k, v in json.load(f).items():
-                if int(k) in view:
-                    view[int(k)].extend(r for r in v
-                                        if _same_config(r, n_convs))
-    have = [lv for lv in sorted(view) if view[lv]]
-    if len(have) < 2:
+    try:
+        sys.path.insert(0, os.path.join(REPO, "BENCH"))
+        import scaling_curve as SC
+        os.environ.setdefault("SCALING_N_CONVS", str(n_convs))
+        out = SC.report()
+    except Exception as e:          # report must never block the gate doc
+        return f"(curve section unavailable: {e})\n\n"
+    rounds = {t: e for t, e in out.get("rounds", {}).items()
+              if "eff_1to2" in e and "eff_2to4" in e}
+    if not rounds:
         return ""
-    best = {lv: max(view[lv], key=lambda r: r["turns_per_sec"])
-            for lv in have}
-    rows = "\n".join(
-        f"| {lv} | {best[lv]['wall_sec']} | {best[lv]['turns_per_sec']} "
-        f"| {len(view[lv])} |" for lv in have)
-    effs = []
-    for a, b in [(1, 2), (2, 4), (1, 4)]:
-        if a in best and b in best:
-            e = (best[b]["turns_per_sec"]
-                 / best[a]["turns_per_sec"]) / (b / a)
-            effs.append(f"eff({a}→{b}) = **{e:.3f}**")
+    head = out.get("headline_round")
+    lines = []
+    for tag, e in sorted(rounds.items()):
+        mark = " ← headline (least-contended complete round)" \
+            if tag == head else ""
+        lv = e["levels"]
+        lines.append(
+            f"| `{tag}` | {lv.get('1', lv.get(1, '—'))} "
+            f"| {lv.get('2', lv.get(2, '—'))} "
+            f"| {lv.get('4', lv.get(4, '—'))} "
+            f"| {e['eff_1to2']} | {e['eff_2to4']} "
+            f"| {e.get('eff_1to4', '—')} |{mark}")
+    best = out.get("best_per_level", {})
+    best_line = ", ".join(
+        f"{lv}-exec {v['turns_per_sec']:.0f} turns/s"
+        for lv, v in sorted(best.items(), key=lambda kv: int(kv[0])))
     return f"""## Efficiency curve (1 → 2 → 4 executors, same gated protocol)
 
-Same job, input and partition floor at three cluster sizes
-(best clean sample per level; harness: BENCH/scaling_curve.py, raw
-samples BENCH/scaling_curve_runs.json merged with the main record):
+Same job, input and partition floor at three cluster sizes, the three
+levels of each round run BACK-TO-BACK in one weather window and
+ratioed only within that window — host weather swings >2× day to day,
+so cross-day ratios would mix regimes (harness:
+BENCH/scaling_curve.py; raw samples BENCH/scaling_curve_runs.json;
+each round's result hash identical across its levels).
 
-| executors | best wall (s) | best throughput (turns/s) | clean samples |
-|---|---|---|---|
-{rows}
+| round | 1-exec (turns/s) | 2-exec | 4-exec | eff(1→2) | eff(2→4) | eff(1→4) |
+|---|---|---|---|---|---|---|
+{chr(10).join(lines)}
 
-{"; ".join(effs)}.
+Best clean sample per level across all records (levels measured on
+different days — capability, not a ratio source): {best_line}.
 
 Reading: a plan defect (serial fraction, skew) loses roughly the same
 efficiency per doubling; the measured shared-DRAM ceiling predicts

@@ -77,16 +77,50 @@ def report(runs: dict[int, list[dict]] | None = None) -> dict:
     have = [lv for lv in sorted(LEVELS) if view.get(lv)]
     best = {lv: max(view[lv], key=lambda r: r["turns_per_sec"])
             for lv in have}
-    out["best"] = {lv: {"wall_sec": best[lv]["wall_sec"],
-                        "turns_per_sec": best[lv]["turns_per_sec"]}
-                   for lv in have}
+    out["best_per_level"] = {lv: {"wall_sec": best[lv]["wall_sec"],
+                                  "turns_per_sec":
+                                  best[lv]["turns_per_sec"]}
+                             for lv in have}
     hashes = {best[lv]["result_hash"] for lv in have}
     out["result_hash_identical"] = len(hashes) <= 1
-    for lo, hi in [(1, 2), (2, 4), (1, 4)]:
-        if lo in best and hi in best:
-            eff = (best[hi]["turns_per_sec"]
-                   / best[lo]["turns_per_sec"]) / (hi / lo)
-            out[f"eff_{lo}to{hi}"] = round(eff, 3)
+
+    # Efficiency ratios are computed WITHIN one round (one harness
+    # launch's back-to-back window — samples share a round_tag), never
+    # across pools: host weather swings >2x day to day, so a clean-day
+    # numerator over a degraded-day denominator fabricates arbitrary
+    # ratios. Untagged curve samples (pre-tag sessions) are excluded
+    # from ratios; the main record's 1/4 samples carry no tag and
+    # likewise only inform best_per_level above.
+    rounds: dict[str, dict[int, dict]] = {}
+    for lv, rs in view.items():
+        for r in rs:
+            tag = r.get("round_tag")
+            if tag:
+                cur = rounds.setdefault(tag, {})
+                if (lv not in cur
+                        or r["turns_per_sec"]
+                        > cur[lv]["turns_per_sec"]):
+                    cur[lv] = r
+    out["rounds"] = {}
+    headline, headline_score = None, -1.0
+    for tag, by_lv in sorted(rounds.items()):
+        entry = {"levels": {lv: by_lv[lv]["turns_per_sec"]
+                            for lv in sorted(by_lv)}}
+        for a, b in [(1, 2), (2, 4), (1, 4)]:
+            if a in by_lv and b in by_lv:
+                e = (by_lv[b]["turns_per_sec"]
+                     / by_lv[a]["turns_per_sec"]) / (b / a)
+                entry[f"eff_{a}to{b}"] = round(e, 3)
+        out["rounds"][tag] = entry
+        # the least-contended complete round headlines: weather is
+        # one-sided, so the round whose SLOWEST per-core throughput is
+        # highest had the quietest window overall
+        if len(by_lv) == len(LEVELS):
+            score = min(r["turns_per_sec"] / (lv * CORES_PER_EXEC)
+                        for lv, r in by_lv.items())
+            if score > headline_score:
+                headline, headline_score = tag, score
+    out["headline_round"] = headline
     print(json.dumps(out, indent=1))
     return out
 
@@ -121,6 +155,8 @@ def main() -> None:
         int(x) for x in os.environ.get(
             "SCALING_CURVE_LEVELS",
             ",".join(map(str, LEVELS))).split(","))
+    import time as _t
+    session = f"s{int(_t.time())}"
     runs = _load()
     for rnd in range(rounds):
         for level in levels:
@@ -128,6 +164,12 @@ def main() -> None:
                 pre_steal = S.wait_for_quiet_host()
                 r = S.run_level("local-cluster", level, tx_path)
                 r["n_convs"] = n_convs
+                # levels of one round run back-to-back in one weather
+                # window; the report ratios within a tag, never across
+                # days (cross-day best-of mixes weather regimes: a
+                # clean-day L1 against a degraded-day L2 fabricates
+                # eff(1->2) ~ 0.5)
+                r["round_tag"] = f"{session}-r{rnd}"
                 r["pre_steal"] = round(pre_steal, 4)
                 r["pre_probe"] = round(
                     getattr(S.wait_for_quiet_host, "_last_probe", -1.0), 3)
