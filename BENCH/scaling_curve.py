@@ -184,6 +184,11 @@ def main() -> None:
                       f"probe {r['pre_probe']}s->{r['post_probe']}s"
                       f"{', POLLUTED' if r['weather_polluted'] else ''})",
                       flush=True)
+                # reload-merge before save: the file may have gained
+                # annotations (round tags, pollution provenance) since
+                # launch — writing the launch-time snapshot back would
+                # silently drop them (bit us once)
+                runs = _load()
                 runs.setdefault(level, []).append(r)
                 _save(runs)
                 if not r["weather_polluted"]:
