@@ -835,6 +835,32 @@ def _curve_section(n_convs: int) -> str:
     best_line = ", ".join(
         f"{lv}-exec {v['turns_per_sec']:.0f} turns/s"
         for lv, v in sorted(best.items(), key=lambda kv: int(kv[0])))
+    # weather-quality flag: how close did the headline round's levels
+    # run to each level's known-quiet capability? A round whose levels
+    # sat well under capability ran in a degraded window — its ratios
+    # are noise-limited lower bounds, not plan measurements.
+    quality = ""
+    if head and head in rounds and best:
+        fracs = []
+        for lv, tps in rounds[head]["levels"].items():
+            cap = best.get(lv) or best.get(str(lv))
+            if cap:
+                fracs.append((lv, tps / cap["turns_per_sec"]))
+        if fracs:
+            worst_lv, worst = min(fracs, key=lambda t: t[1])
+            frac_txt = ", ".join(f"{lv}-exec {f:.0%}" for lv, f in
+                                 sorted(fracs))
+            quality = (
+                f"\nHeadline-round weather quality (per-level throughput "
+                f"vs that level's known-quiet capability): {frac_txt}. "
+                + (f"The {worst_lv}-exec level ran at {worst:.0%} of "
+                   f"capability — this round sat in a degraded window, "
+                   f"so its ratios are weather-limited lower bounds; "
+                   f"rounds keep accumulating and a quieter complete "
+                   f"round replaces the headline automatically.\n"
+                   if worst < 0.85 else
+                   "All levels ran near capability — the ratios "
+                   "measure the plan, not the weather.\n"))
     return f"""## Efficiency curve (1 → 2 → 4 executors, same gated protocol)
 
 Same job, input and partition floor at three cluster sizes, the three
@@ -850,7 +876,7 @@ each round's result hash identical across its levels).
 
 Best clean sample per level across all records (levels measured on
 different days — capability, not a ratio source): {best_line}.
-
+{quality}
 Reading: a plan defect (serial fraction, skew) loses roughly the same
 efficiency per doubling; the measured shared-DRAM ceiling predicts
 near-1 eff(1→2) and the loss concentrated in eff(2→4), where 16
