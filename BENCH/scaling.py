@@ -555,7 +555,27 @@ def main() -> None:
                           indent=2)
             assert r["result_hash"] == runs[level][0]["result_hash"]
 
+    _merge_curve_samples(runs, n_convs)
     write_report(runs, mode, lo, hi, n_convs)
+
+
+def _merge_curve_samples(runs: dict, n_convs: int) -> None:
+    """Extend the in-session report pool with the curve harness's clean
+    same-config samples (BENCH/scaling_curve_runs.json — identical
+    worker, partition floor, gating and persistence format).
+
+    Called by BOTH entry points (a measuring session's final report and
+    ``--report-only``) so the committed BASELINE.md never depends on
+    which one last regenerated it."""
+    curve_path = os.path.join(REPO, "BENCH", "scaling_curve_runs.json")
+    if not os.path.exists(curve_path):
+        return
+    with open(curve_path) as f:
+        for k, v in json.load(f).items():
+            if int(k) in runs:
+                runs[int(k)].extend(
+                    r for r in v if _same_config(r, n_convs)
+                    and not r.get("weather_polluted"))
 
 
 def _same_config(r: dict, n_convs: int) -> bool:
@@ -894,19 +914,7 @@ def report_only() -> None:
     n_convs = int(os.environ.get("SCALING_N_CONVS", "5760000"))
     runs = {int(k): [r for r in v if _same_config(r, n_convs)]
             for k, v in raw.items()}
-    # symmetric with the curve harness's merge of this record: clean
-    # N/4N samples measured by BENCH/scaling_curve.py use the identical
-    # worker, partition floor, gating and persistence format, so they
-    # enter the same best/mean/median pool (weather-filtered — the
-    # curve keeps its polluted attempts on disk, annotated)
-    curve_path = os.path.join(REPO, "BENCH", "scaling_curve_runs.json")
-    if os.path.exists(curve_path):
-        with open(curve_path) as f:
-            for k, v in json.load(f).items():
-                if int(k) in runs:
-                    runs[int(k)].extend(
-                        r for r in v if _same_config(r, n_convs)
-                        and not r.get("weather_polluted"))
+    _merge_curve_samples(runs, n_convs)
     lo, hi = sorted(runs)
     mode = os.environ.get("SCALING_MODE", "local-cluster")
     write_report(runs, mode, lo, hi, n_convs)

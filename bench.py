@@ -161,6 +161,9 @@ def main() -> None:
     weather: dict[str, dict] = {}
     w = Weather()
     from jaccard_ml_spark.operators.similarity import release_persisted
+    from jaccard_ml_spark.operators.verify import (
+        release_persisted as release_verify_persisted,
+    )
 
     def run_one(name, fn):
         rec = _timed(fn, w)
@@ -181,10 +184,11 @@ def main() -> None:
         def fn(name=name):
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            # drop the similarity ops' cached vector tables between
-            # queries so a bench loop can't accumulate executor
-            # storage (ADVICE r2)
+            # drop the similarity ops' cached vector tables (and any
+            # semi-filter candidate cache) between queries so a bench
+            # loop can't accumulate executor storage (ADVICE r2)
             release_persisted()
+            release_verify_persisted()
         run_one(name, fn)
 
     tx_run, n_turns = _bench_transcripts(spark, sf)

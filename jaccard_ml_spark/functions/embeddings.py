@@ -28,4 +28,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector is a 0/0 — under Spark's default
+    # ANSI mode a plain `/` KILLS the query (DIVIDE_BY_ZERO) instead of
+    # yielding NaN; NULL instead drops out of every >=-threshold filter
+    # and sorts last under desc ordering (degenerate embeddings never
+    # pair and never rank)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

@@ -128,10 +128,18 @@ def cosine_dup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            stable_round6(dot(F.col("_va"), F.col("_vb"))
-                          / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+            # try_divide: zero-norm → 0/0, which under default ANSI mode
+            # is a query-killing DIVIDE_BY_ZERO with plain `/`; NULL
+            # drops out of the >= filter. Rule across every strategy
+            # (exact / LSH / brute): degenerate embeddings (null or
+            # zero-norm) never pair.
+            stable_round6(F.try_divide(
+                dot(F.col("_va"), F.col("_vb")),
+                F.col("_na") * F.col("_nb"))).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
+        # ~isnan: NaN still arises from non-finite embedding values and
+        # Spark sorts NaN ABOVE every double, so `>=` alone would pass it
+        .where((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
     )
 
 
@@ -174,6 +182,10 @@ def _brute_pairs_broadcast(
     tests/test_similarity.py.
     """
     spark = vectors.sparkSession
+    # null embeddings never become candidates on the LSH path (the
+    # bucket UDF skips them), and np.asarray(None) would poison the
+    # matrix build — drop them here so the two strategies agree
+    vectors = vectors.where(F.col(vec_col).isNotNull())
     pdf = vectors.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("v")).toPandas()
     ids = pdf["id"].to_numpy()
@@ -203,16 +215,25 @@ def _brute_pairs_broadcast(
             if not len(qi):
                 continue
             q = mat_[qi]                      # (B, dim) float64
+            qn = norms_[qi][:, None]          # hoisted out of the chunk
+            qr = rank_[qi][:, None]           # loop (O(B) gather each)
             # chunk the corpus axis so the (B, cn, dim) product stays
             # ~64 MB regardless of block/corpus sizes
             cn = max(1, int((8 << 20) // max(1, q.shape[0] * q.shape[1])))
             for s in range(0, n, cn):
                 m = mat_[s:s + cn]
-                c = _seq_rowsum(q[:, None, :] * m[None, :, :]) \
-                    / (norms_[qi][:, None] * norms_[None, s:s + cn])
+                # errstate: 0/0 → NaN is the intended zero-norm result
+                # (dropped below); the default RuntimeWarning would spam
+                # executor logs once per chunk
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    c = _seq_rowsum(q[:, None, :] * m[None, :, :]) \
+                        / (qn * norms_[None, s:s + cn])
                 c = np.floor(c * 1e6 + 0.5) / 1e6
-                keep = (c >= thr) & (rank_[qi][:, None]
-                                     < rank_[None, s:s + cn])
+                # IEEE compare: NaN >= thr is False, so zero-norm
+                # (0/0 → NaN) pairs drop here for free — the same
+                # degenerate-embeddings-never-pair rule the Catalyst
+                # paths enforce with an explicit ~isnan filter
+                keep = (c >= thr) & (qr < rank_[None, s:s + cn])
                 bi, ci = np.nonzero(keep)
                 if len(bi):
                     yield pd.DataFrame({
@@ -322,9 +343,11 @@ def expected_collision_fraction(n_planes: int, n_tables: int) -> float:
     emitted as candidates. At that density an exact blocked matmul
     scores the same number of pairs with none of the index machinery
     (the same flat-vs-index switch FAISS makes, driven by the model
-    instead of a fixed size cutoff)."""
-    q = 0.5 ** n_planes
-    return 1.0 - (1.0 - q) ** n_tables
+    instead of a fixed size cutoff).
+
+    Exactly the collision model at cosine 0 (per-plane agreement
+    acos(0)/π = ½) — one formula, one implementation."""
+    return modeled_recall(0.0, n_planes, n_tables)
 
 
 def _multi_table_bucket_udf(dim: int, n_planes: int, n_tables: int,
@@ -480,8 +503,15 @@ def _pairs_within_groups(assign: DataFrame, group_cols: list[str],
                     acc_a.append(np.repeat(reps, len(beyond)))
                     acc_b.append(np.tile(beyond, len(reps)))
             if acc_a:
-                yield pd.DataFrame({"id_a": np.concatenate(acc_a),
-                                    "id_b": np.concatenate(acc_b)})
+                a = np.concatenate(acc_a)
+                b = np.concatenate(acc_b)
+                # a REPEATED id inside one bucket would pair with
+                # itself: triu(k=1) skips equal positions, not equal
+                # values (the expression form this pass replaced
+                # carried an explicit id_a != id_b filter)
+                ok = a != b
+                if ok.any():
+                    yield pd.DataFrame({"id_a": a[ok], "id_b": b[ok]})
 
     return (grouped.select("members").mapInPandas(_gen, out_schema)
             .distinct())
@@ -505,9 +535,17 @@ def _dot_seq_arrow(va: pd.Series, vb: pd.Series) -> pd.Series:
     if rows:
         idx = np.fromiter((i for i, _, _ in rows), dtype=np.intp,
                           count=len(rows))
-        A = np.stack([a for _, a, _ in rows])
-        B = np.stack([b for _, _, b in rows])
-        out[idx] = _seq_rowsum(A * B)
+        # stack per distinct dimension: one Arrow batch may mix vector
+        # lengths (each PAIR is internally consistent — the row filter
+        # above — but np.stack over mixed (64,)/(32,) rows raises where
+        # the per-row Catalyst fold this replaced did not)
+        lens = np.fromiter((len(a) for _, a, _ in rows), dtype=np.intp,
+                           count=len(rows))
+        for ln in np.unique(lens):
+            sel = np.nonzero(lens == ln)[0]
+            A = np.stack([rows[i][1] for i in sel])
+            B = np.stack([rows[i][2] for i in sel])
+            out[idx[sel]] = _seq_rowsum(A * B)
     return pd.Series(out)
 
 
@@ -534,8 +572,12 @@ def _score_pairs(cand: DataFrame, vectors: DataFrame,
         .join(v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
                        F.col("_n").alias("_nb")), "id_b")
         .select("id_a", "id_b",
-                stable_round6(_dot_seq_arrow(F.col("_va"), F.col("_vb"))
-                              / (F.col("_na") * F.col("_nb")))
+                # try_divide: a zero-norm candidate is 0/0 — ANSI-mode
+                # `/` would kill the query, NULL just never clears the
+                # callers' >= / top-k filters
+                stable_round6(F.try_divide(
+                    _dot_seq_arrow(F.col("_va"), F.col("_vb")),
+                    F.col("_na") * F.col("_nb")))
                 .alias("cosine"))
     )
 
@@ -697,8 +739,13 @@ def embedding_near_dup_pairs(
                              id_col, vec_col)
     cand = _pairs_within_groups(assign, ["table", "bucket"], bucket_cap,
                                 metrics, "embdup")
+    # zero-norm → NULL cosine (try_divide in _score_pairs) → dropped by
+    # `>=`; ~isnan additionally drops NaN from non-finite values, which
+    # Spark's `>=` would pass (NaN sorts above all doubles) — same
+    # degenerate-embeddings-never-pair rule as cosine_dup_pairs and
+    # _brute_pairs_broadcast
     return _score_pairs(cand, vecs, id_col, vec_col) \
-        .where(F.col("cosine") >= threshold)
+        .where((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
 
 
 # ---------------------------------------------------------------------------

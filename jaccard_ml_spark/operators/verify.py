@@ -17,6 +17,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# candidate tables persisted by verify_pairs(semi_filter=True); same
+# registry pattern as operators/similarity.py and streaming/incremental
+# — a caller loop that never releases them would otherwise accumulate
+# executor storage one cached candidate table per call
+_PERSISTED: list = []
+
+
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist every candidate table cached by verify_pairs.
+
+    Safe after the returned pairs are materialized (a later
+    re-materialization would just recompute). Returns the count."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking)
+    return n
+
 
 def verify_pairs(
     pairs: DataFrame,
@@ -60,6 +77,7 @@ def verify_pairs(
         lvl = pairs.storageLevel
         if not (lvl.useMemory or lvl.useDisk):
             pairs = pairs.persist()
+            _PERSISTED.append(pairs)
         cand_ids = (pairs.select(F.col("id_a").alias("_vid"))
                     .unionAll(pairs.select(F.col("id_b").alias("_vid")))
                     .distinct())

@@ -116,6 +116,13 @@ def dedup_pipeline(transcripts: DataFrame, cfg: DedupConfig,
     /root/reference/src/utils.cuh:406-492).
     """
     conversations = assemble_conversations(transcripts, cfg.text_separator)
+    if sets_store is not None and cfg.shingle_impl != "arrow":
+        # the bucketed-checkpoint layout is built from the fused Arrow
+        # table; silently falling through to the unbucketed persist
+        # would hand the caller an A/B that never ran the B variant
+        raise ValueError(
+            "sets_store requires cfg.shingle_impl='arrow' "
+            f"(got {cfg.shingle_impl!r})")
     if cfg.shingle_impl == "arrow" and sets_store is not None:
         from jaccard_ml_spark.functions.shingle_arrow import (
             fused_shingle_minhash,
@@ -193,11 +200,10 @@ def dedup_documents(docs: DataFrame, cfg: DedupConfig,
         )
         sets_df = fused_shingle_minhash(base, "text", cfg.k_shingle,
                                         cfg.num_perm, cfg.minhash_seed)
-        if cache:
-            sets_df = sets_df.persist()
+        sets_df = sets_df.persist()   # branch is gated on cache above
         signatures = (sets_df.select("id", "set_size", "signature")
                       .where(F.col("signature").isNotNull()))
-        sigs_cached = cache
+        sigs_cached = True
     else:
         sets_df = _add_shingles(base, cfg).select("id", "items")
         if cache:

@@ -264,7 +264,10 @@ def ensure_generated(out_dir: str, gen_fn, **kwargs) -> dict:
     regeneration rather than a wrong reuse. Markers from before this
     check (no gen_kwargs recorded) are treated as mismatched."""
     marker = os.path.join(out_dir, "_GEN_DONE")
-    want = {k: v for k, v in sorted(kwargs.items())}
+    # JSON round-trip so the comparison sees what the marker stores:
+    # a tuple-valued kwarg deserializes as a list and a raw == against
+    # the live tuple would force a full wipe+regenerate on EVERY call
+    want = json.loads(json.dumps({k: v for k, v in sorted(kwargs.items())}))
     if is_generated(out_dir):
         with open(marker) as f:
             info = json.load(f)
