@@ -59,3 +59,25 @@ def test_semi_filter_off_has_no_semi_join(fixture_dfs):
     plan = (verify_pairs(cands, sets, 0.5, semi_filter=False)
             ._jdf.queryExecution().executedPlan().toString())
     assert "LeftSemi" not in plan
+
+
+def test_semi_filter_persist_registers_for_release(fixture_dfs):
+    """The candidate persist is reachable through the module registry —
+    without it, a diagnostic loop leaked one cached candidate table per
+    verify_pairs call (r4 ADVICE pattern)."""
+    from jaccard_ml_spark.operators import verify as V
+
+    sets, cands = fixture_dfs
+    V.release_persisted()            # clean slate
+    V.verify_pairs(cands, sets, 0.0, semi_filter=True,
+                   keep_below_threshold=True).count()
+    assert V.release_persisted() == 1
+    assert V.release_persisted() == 0
+    # an already-persisted candidate table is NOT re-persisted
+    pc = cands.persist()
+    try:
+        V.verify_pairs(pc, sets, 0.0, semi_filter=True,
+                       keep_below_threshold=True).count()
+        assert V.release_persisted() == 0
+    finally:
+        pc.unpersist()
