@@ -71,6 +71,15 @@ CACHE_LEVEL = (None if os.environ.get("SCALING_CACHE_LEVEL") == "memory"
 # write replaces the cache materialization in the same timed window —
 # the A/B measures (+1 bucketed parquet write) vs (−2 fat exchanges).
 BUCKETED = os.environ.get("SCALING_BUCKETED_SETS", "0") == "1"
+# SCALING_SEMI_FILTER=1: verify_pairs broadcasts the candidate-id set
+# as a leftsemi filter on the sets side (operators/verify.py). The r4
+# A/B that rejected this (327s on vs 248s off at 45M) ran BEFORE the
+# persist fix (the candidate subtree evaluated twice); with candidates
+# persisted the filter drops ~67% of the fat items rows from verify's
+# two exchanges + sorts — re-measured here as the remaining
+# byte-remover on the scaling gate.
+SEMI = os.environ.get("SCALING_SEMI_FILTER", "0") == "1"
+CFG = DedupConfig(verify_semi_filter=SEMI)
 from jaccard_ml_spark.session import get_spark
 from jaccard_ml_spark.sources.tables import read_transcripts
 
@@ -262,16 +271,18 @@ warm_mod = int(os.environ.get("SCALING_WARMUP_MOD", "8"))
 t_w0 = time.monotonic()
 if warm_mod > 0:
     sample = tx.where(F.pmod(F.xxhash64("conv_id"), F.lit(warm_mod)) == 0)
-    wres = dedup_pipeline(sample, DedupConfig(), storage_level=CACHE_LEVEL,
+    wres = dedup_pipeline(sample, CFG, storage_level=CACHE_LEVEL,
                           sets_store=make_store("warm") if BUCKETED
                           else None, sets_buckets=parts)
     wres.pairs.count(); wres.clusters.count()
     wres.shingle_sets.unpersist(); wres.pairs.unpersist()
+    from jaccard_ml_spark.operators import verify as _verify
+    _verify.release_persisted()   # warmup's semi-filter candidate cache
     shutil.rmtree(ckpt_root + "/warm", ignore_errors=True)
 warmup_sec = time.monotonic() - t_w0
 
 t0 = time.monotonic()
-res = dedup_pipeline(tx, DedupConfig(), storage_level=CACHE_LEVEL,
+res = dedup_pipeline(tx, CFG, storage_level=CACHE_LEVEL,
                      sets_store=make_store("run") if BUCKETED else None,
                      sets_buckets=parts)
 n_pairs = res.pairs.count()
@@ -299,6 +310,8 @@ pair_sig = sorted((r.id_a, r.id_b) for r in
 clus_sig = sorted((r.id, r.cluster_id) for r in res.clusters.collect())
 rhash = hashlib.sha256(repr((pair_sig, clus_sig)).encode()).hexdigest()[:16]
 res.shingle_sets.unpersist(); res.pairs.unpersist()
+from jaccard_ml_spark.operators.verify import release_persisted
+release_persisted()
 shutil.rmtree(ckpt_root, ignore_errors=True)
 
 print("RESULT " + json.dumps({
@@ -308,7 +321,7 @@ print("RESULT " + json.dumps({
     "warmup_sec": round(warmup_sec, 2),
     "turns_per_sec": round(n_turns / wall, 1),
     "cache_mem_mb": cache_mem_mb, "cache_disk_mb": cache_disk_mb,
-    "bucketed_sets": BUCKETED,
+    "bucketed_sets": BUCKETED, "semi_filter": SEMI,
     "result_hash": rhash,
 }))
 spark.stop()
@@ -591,7 +604,10 @@ def _same_config(r: dict, n_convs: int) -> bool:
     else:
         same_input = abs(r.get("turns", 0) - n_convs * 7.8) < n_convs * 1.0
     bucketed = os.environ.get("SCALING_BUCKETED_SETS", "0") == "1"
-    return same_input and bool(r.get("bucketed_sets", False)) == bucketed
+    semi = os.environ.get("SCALING_SEMI_FILTER", "0") == "1"
+    return (same_input
+            and bool(r.get("bucketed_sets", False)) == bucketed
+            and bool(r.get("semi_filter", False)) == semi)
 
 
 def write_report(runs: dict, mode: str, lo: int, hi: int,
@@ -649,6 +665,10 @@ def write_report(runs: dict, mode: str, lo: int, hi: int,
                if bucketed else
                "**persisted-cache** — the fused sets table is persisted "
                "(DISK_ONLY on tmpfs) and verify sort-merge-exchanges it")
+    if rlo.get("semi_filter"):
+        variant += (" + **verify semi-filter** — the persisted candidate"
+                    " table's id set broadcast-filters the sets side"
+                    " before verify's joins (operators/verify.py)")
 
     def row(level, r):
         mu, sp = mean_spread(level)

@@ -43,6 +43,7 @@ def verify_pairs(
     items_col: str = "items",
     keep_below_threshold: bool = False,
     semi_filter: bool = False,
+    persist_level=None,
 ) -> DataFrame:
     """(id_a, id_b) candidates → (id_a, id_b, intersection, size_a, size_b,
     jaccard), filtered to jaccard ≥ threshold unless asked otherwise.
@@ -74,9 +75,15 @@ def verify_pairs(
         # join's probe side; unpersisted it evaluates twice — the
         # measured reason this filter lost its 45M A/B. Persist unless
         # the caller already did (pairs.storageLevel.useMemory/useDisk).
+        # ``persist_level`` pins the tier (harnesses comparing cluster
+        # sizes pin EVERY cache to one tier — Spark's MEMORY_AND_DISK
+        # default is memory-resident at one level and spilled at the
+        # other, a storage asymmetry, not compute scaling); None keeps
+        # Spark's default.
         lvl = pairs.storageLevel
         if not (lvl.useMemory or lvl.useDisk):
-            pairs = pairs.persist()
+            pairs = (pairs.persist(persist_level) if persist_level
+                     else pairs.persist())
             _PERSISTED.append(pairs)
         cand_ids = (pairs.select(F.col("id_a").alias("_vid"))
                     .unionAll(pairs.select(F.col("id_b").alias("_vid")))

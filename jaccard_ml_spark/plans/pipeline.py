@@ -165,7 +165,8 @@ def dedup_pipeline(transcripts: DataFrame, cfg: DedupConfig,
                             signatures_persisted=sigs_cached,
                             storage_level=storage_level)
     pairs = verify_pairs(cands, sets_df, cfg.jaccard_threshold,
-                         semi_filter=cfg.verify_semi_filter)
+                         semi_filter=cfg.verify_semi_filter,
+                         persist_level=storage_level)
     if cache:
         pairs = (pairs.persist(storage_level) if storage_level
                  else pairs.persist())

@@ -81,3 +81,24 @@ def test_semi_filter_persist_registers_for_release(fixture_dfs):
         assert V.release_persisted() == 0
     finally:
         pc.unpersist()
+
+
+def test_semi_filter_persist_level_pins_tier(fixture_dfs):
+    """A harness comparing cluster sizes pins EVERY cache to one tier;
+    verify's candidate persist must honor the caller's level (Spark's
+    MEMORY_AND_DISK default is memory-resident at one level and
+    spilled at the other — storage asymmetry, not compute scaling)."""
+    from pyspark import StorageLevel
+
+    from jaccard_ml_spark.operators import verify as V
+
+    sets, cands = fixture_dfs
+    V.release_persisted()
+    out = V.verify_pairs(cands, sets, 0.0, semi_filter=True,
+                         keep_below_threshold=True,
+                         persist_level=StorageLevel.DISK_ONLY)
+    out.count()
+    assert len(V._PERSISTED) == 1
+    lvl = V._PERSISTED[0].storageLevel
+    assert lvl.useDisk and not lvl.useMemory
+    assert V.release_persisted() == 1
