@@ -75,7 +75,7 @@ BUCKETED = os.environ.get("SCALING_BUCKETED_SETS", "0") == "1"
 # as a leftsemi filter on the sets side (operators/verify.py). The r4
 # A/B that rejected this (327s on vs 248s off at 45M) ran BEFORE the
 # persist fix (the candidate subtree evaluated twice); with candidates
-# persisted the filter drops ~67% of the fat items rows from verify's
+# persisted the filter drops ~67%% of the fat items rows from verify's
 # two exchanges + sorts — re-measured here as the remaining
 # byte-remover on the scaling gate.
 SEMI = os.environ.get("SCALING_SEMI_FILTER", "0") == "1"
