@@ -819,6 +819,17 @@ with raw samples: SCALE_NOTES.md "config ladder" + per-config
   two that helped are exactly the two that reduce bytes through
   DRAM. Raw samples: BENCH/scaling_runs.json (`bucketed_sets: true`
   rows).
+- **Round 5 (cont.): the verify semi-filter was also re-measured
+  with its r4 confound removed** (candidates now persist before the
+  broadcast id-set build — operators/verify.py) and REFUTED at both
+  levels of a full two-level round: N 932.0s / 48,190 turns/s,
+  4N 548.2s / 81,930 turns/s (clean brackets, within-window eff
+  0.425) vs the persisted-cache 0.669. Like the bucketed layout, it
+  redirects bytes (a distinct + broadcast pass over the candidate
+  table) rather than removing them, and on a shared-DRAM-bound box
+  only removal helps. The knob ships OFF, kept for selective-probe
+  regimes (SCALE_NOTES.md round-5 semi-filter section;
+  `semi_filter: true` rows in BENCH/scaling_runs.json).
 
 {_curve_section(n_convs)}## Dup-pair recall vs oracle
 
